@@ -1,0 +1,8 @@
+"""Codec layer: scalar reference implementation and jitted XLA block codec."""
+
+from dctpu.codec.scalar import (  # noqa: F401
+    scalar_compress,
+    scalar_decompress,
+    scalar_decode_block,
+    scalar_encode_block,
+)

@@ -1,0 +1,307 @@
+"""Scalar reference codec — the executable specification of docs/FORMAT.md.
+
+Deliberately simple (Python bigints for bit I/O, per-sample loops for LPC): this
+is the clarity-first arbiter that the C++ oracle, the XLA codec and the Pallas
+kernels are all tested against byte-for-byte. It is NOT a performance path.
+
+Mirrors the reference C codec's serial encode/decode call stack (SURVEY.md §3)
+in structure: select_predictor → residuals → zigzag → choose k → rice emit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from dctpu.config import CodecConfig, LpcTable
+from dctpu.constants import (
+    DELTA,
+    DOUBLE_DELTA,
+    ESCAPE_Q,
+    HISTORY_LEN,
+    LPC,
+    LPC_SHIFT,
+    MAX_CODE_BITS,
+)
+from dctpu.format.frame import BlockHeaders, Frame, StreamMeta, plan_blocks
+
+_M32 = (1 << 32) - 1
+_M64 = (1 << 64) - 1
+
+
+def _wrap_i32(v: int) -> int:
+    v &= _M32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _wrap_i64(v: int) -> int:
+    v &= _M64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------- zigzag
+
+
+def zigzag(r: np.ndarray) -> np.ndarray:
+    """int32 residual -> uint32, small magnitudes first (FORMAT.md §2)."""
+    r = r.astype(np.int32)
+    return ((r.astype(np.uint32) << np.uint32(1)) ^ (r >> 31).astype(np.uint32)).astype(
+        np.uint32
+    )
+
+
+def unzigzag(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint32)
+    return ((z >> np.uint32(1)) ^ (np.uint32(0) - (z & np.uint32(1)))).astype(np.int32)
+
+
+# ---------------------------------------------------------------- predictors
+
+
+def lpc_predict_one(hist: Sequence[int], table: LpcTable) -> int:
+    """P = int32(wrap64(sum c_j * x_{t-j}) >> 16). hist[0] = x_{t-1}."""
+    s = 0
+    for j in range(table.order):
+        s += int(table.coeffs[j]) * int(hist[j])
+    s = _wrap_i64(s)
+    return _wrap_i32(s >> LPC_SHIFT)  # Python >> on negative int is arithmetic
+
+
+def residuals(x: np.ndarray, history: np.ndarray, predictor: int, table: LpcTable | None) -> np.ndarray:
+    """Forward prediction; wrapping int32. history[j] = x_{-1-j}."""
+    x = x.astype(np.int32)
+    h = history.astype(np.int32)
+    n = x.size
+    if predictor == DELTA:
+        prev = np.concatenate([h[:1], x[:-1]])
+        return (x.astype(np.int64) - prev.astype(np.int64)).astype(np.int32)
+    if predictor == DOUBLE_DELTA:
+        x1 = np.concatenate([h[:1], x[:-1]])   # x_{t-1}
+        x2 = np.concatenate([h[1:2], x1[:-1]]) # x_{t-2}
+        acc = (
+            x.astype(np.int64)
+            - 2 * x1.astype(np.int64)
+            + x2.astype(np.int64)
+        )
+        return acc.astype(np.int32)  # two's-complement truncation == wrapping
+    if predictor == LPC:
+        assert table is not None
+        r = np.empty(n, dtype=np.int32)
+        hist = [int(h[0]), int(h[1]), int(h[2]), int(h[3])]
+        for t in range(n):
+            p = lpc_predict_one(hist, table)
+            r[t] = _wrap_i32(int(x[t]) - p)
+            hist = [int(x[t])] + hist[:3]
+        return r
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+def reconstruct(r: np.ndarray, history: np.ndarray, predictor: int, table: LpcTable | None) -> np.ndarray:
+    """Inverse prediction; wrapping int32."""
+    r = r.astype(np.int32)
+    h = history.astype(np.int32)
+    n = r.size
+    if predictor == DELTA:
+        # x = h0 + inclusive_cumsum(r), wrapping
+        return (np.cumsum(r.astype(np.int64)) + int(h[0])).astype(np.int32)
+    if predictor == DOUBLE_DELTA:
+        d0 = int(h[0]) - int(h[1])  # d_{-1}
+        d = (np.cumsum(r.astype(np.int64)) + d0).astype(np.int32)  # d_t = x_t - x_{t-1}
+        return (np.cumsum(d.astype(np.int64)) + int(h[0])).astype(np.int32)
+    if predictor == LPC:
+        assert table is not None
+        x = np.empty(n, dtype=np.int32)
+        hist = [int(h[0]), int(h[1]), int(h[2]), int(h[3])]
+        for t in range(n):
+            p = lpc_predict_one(hist, table)
+            xt = _wrap_i32(int(r[t]) + p)
+            x[t] = xt
+            hist = [xt] + hist[:3]
+        return x
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+# ---------------------------------------------------------------- rice coding
+
+
+def rice_code_lengths(z: np.ndarray, k: int) -> np.ndarray:
+    q = (z >> np.uint32(k)).astype(np.int64)
+    return np.where(q < ESCAPE_Q, q + 1 + k, MAX_CODE_BITS)
+
+
+def choose_k(z: np.ndarray, k_max: int) -> Tuple[int, int]:
+    """Exact argmin_k of total coded bits; ties -> smallest k (FORMAT.md §4)."""
+    best_k, best_bits = 0, int(rice_code_lengths(z, 0).sum())
+    for k in range(1, k_max + 1):
+        bits = int(rice_code_lengths(z, k).sum())
+        if bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k, best_bits
+
+
+def rice_codeword(z: int, k: int) -> Tuple[int, int]:
+    """(code, len). Bit 0 of `code` is the first emitted stream bit."""
+    q = z >> k
+    if q < ESCAPE_Q:
+        low = z & ((1 << k) - 1)
+        return ((1 << q) - 1) | (low << (q + 1)), q + 1 + k
+    return 0xFFFF | (z << ESCAPE_Q), MAX_CODE_BITS
+
+
+# ---------------------------------------------------------------- block codec
+
+
+def pack_bits(codes: Sequence[Tuple[int, int]]) -> Tuple[np.ndarray, int]:
+    """Pack (code, len) pairs LSB-first into little-endian u32 words."""
+    acc = 0
+    off = 0
+    for code, ln in codes:
+        acc |= code << off
+        off += ln
+    nwords = (off + 31) // 32
+    data = acc.to_bytes(nwords * 4, "little") if nwords else b""
+    return np.frombuffer(data, dtype="<u4").copy(), off
+
+
+def scalar_encode_block(
+    x: np.ndarray, history: np.ndarray, cfg: CodecConfig
+) -> Tuple[int, int, int, int, np.ndarray]:
+    """Encode one block -> (predictor, k, table_idx, bit_len, payload_words)."""
+    best = None  # (bits, cand_idx, predictor, table_idx, k, z)
+    for ci, (pred, ti) in enumerate(cfg.candidates()):
+        table = cfg.lpc_tables[ti] if pred == LPC else None
+        z = zigzag(residuals(x, history, pred, table))
+        k, bits = choose_k(z, cfg.k_max)
+        if best is None or bits < best[0]:
+            best = (bits, ci, pred, ti if pred == LPC else 0, k, z)
+    bits, _ci, pred, ti, k, z = best
+    codes = [rice_codeword(int(zv), k) for zv in z]
+    words, bit_len = pack_bits(codes)
+    assert bit_len == bits
+    return pred, k, ti, bit_len, words
+
+
+def scalar_decode_block(
+    payload_words: np.ndarray,
+    n: int,
+    predictor: int,
+    k: int,
+    history: np.ndarray,
+    table: LpcTable | None,
+) -> np.ndarray:
+    """Decode one block's payload back to n int32 samples."""
+    acc = int.from_bytes(np.ascontiguousarray(payload_words, dtype="<u4").tobytes(), "little")
+    z = np.empty(n, dtype=np.uint32)
+    p = 0
+    for t in range(n):
+        ones = 0
+        while ones < ESCAPE_Q and (acc >> (p + ones)) & 1:
+            ones += 1
+        if ones >= ESCAPE_Q:
+            zv = (acc >> (p + ESCAPE_Q)) & _M32
+            p += MAX_CODE_BITS
+        else:
+            q = ones
+            v = (acc >> (p + q + 1)) & ((1 << k) - 1)
+            zv = (q << k) | v
+            p += q + 1 + k
+        z[t] = zv
+    r = unzigzag(z)
+    return reconstruct(r, history, predictor, table)
+
+
+# ---------------------------------------------------------------- full frames
+
+
+def _history_for(x: np.ndarray, start: int) -> np.ndarray:
+    h = np.zeros(HISTORY_LEN, dtype=np.int32)
+    for j in range(HISTORY_LEN):
+        idx = start - 1 - j
+        if idx >= 0:
+            h[j] = x[idx]
+    return h
+
+
+def scalar_compress(
+    streams: Sequence[np.ndarray],
+    cfg: CodecConfig | None = None,
+    stream_ids: Sequence[int] | None = None,
+    cadences: Sequence[int] | None = None,
+) -> Frame:
+    cfg = cfg or CodecConfig()
+    L = cfg.block_len
+    lens = [int(np.asarray(s).size) for s in streams]
+    nblocks, first = plan_blocks(lens, L)
+    B = int(nblocks.sum())
+
+    predictor = np.zeros(B, dtype=np.uint8)
+    kk = np.zeros(B, dtype=np.uint8)
+    nn = np.zeros(B, dtype=np.uint16)
+    bit_len = np.zeros(B, dtype=np.uint32)
+    table_idx = np.zeros(B, dtype=np.uint8)
+    history = np.zeros((B, HISTORY_LEN), dtype=np.int32)
+    payloads: List[np.ndarray] = []
+
+    metas = []
+    b = 0
+    for si, s in enumerate(streams):
+        x = np.asarray(s, dtype=np.int32)
+        metas.append(
+            StreamMeta(
+                stream_id=int(stream_ids[si]) if stream_ids is not None else si,
+                cadence_s=int(cadences[si]) if cadences is not None else 900,
+                num_samples=x.size,
+                num_blocks=int(nblocks[si]),
+                first_block=int(first[si]),
+            )
+        )
+        for start in range(0, x.size, L):
+            xb = x[start : start + L]
+            h = _history_for(x, start)
+            pred, k, ti, bl, words = scalar_encode_block(xb, h, cfg)
+            predictor[b], kk[b], nn[b] = pred, k, xb.size
+            bit_len[b], table_idx[b], history[b] = bl, ti, h
+            payloads.append(words)
+            b += 1
+
+    payload_words = (
+        np.concatenate(payloads) if payloads else np.zeros(0, dtype=np.uint32)
+    )
+    blocks = BlockHeaders(
+        predictor=predictor, k=kk, n=nn, bit_len=bit_len, table_idx=table_idx, history=history
+    )
+    return Frame(
+        block_len=L,
+        streams=metas,
+        blocks=blocks,
+        tables=cfg.lpc_tables,
+        payload_words=payload_words,
+    )
+
+
+def scalar_decompress(frame: Frame) -> List[np.ndarray]:
+    off = frame.blocks.word_offsets()
+    out: List[np.ndarray] = []
+    for s in frame.streams:
+        parts = []
+        for bi in range(s.first_block, s.first_block + s.num_blocks):
+            words = frame.payload_words[off[bi] : off[bi + 1]]
+            pred = int(frame.blocks.predictor[bi])
+            table = (
+                frame.tables[int(frame.blocks.table_idx[bi])] if pred == LPC else None
+            )
+            parts.append(
+                scalar_decode_block(
+                    words,
+                    int(frame.blocks.n[bi]),
+                    pred,
+                    int(frame.blocks.k[bi]),
+                    frame.blocks.history[bi],
+                    table,
+                )
+            )
+        out.append(
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
+        )
+    return out

@@ -1,0 +1,198 @@
+"""Host orchestration: numpy streams <-> jitted device codec <-> DCF1 frames.
+
+This is the single-host entry point (SURVEY.md §3 E1/E2): block planning and
+frame assembly happen on the host in vectorized numpy; all per-sample work runs
+on device in fixed-size chunks of blocks (static shapes -> one compile per
+chunk geometry). The distributed variants wrap the same device functions
+(dctpu.dist).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from dctpu.codec.decode import decode_blocks
+from dctpu.codec.encode import encode_blocks
+from dctpu.config import CodecConfig
+from dctpu.constants import HISTORY_LEN, LPC
+from dctpu.format.frame import BlockHeaders, Frame, StreamMeta, plan_blocks
+from dctpu.kernels.pack_xla import padded_words
+
+DEFAULT_CHUNK_BLOCKS = 2048
+
+
+# ------------------------------------------------------------ block building
+
+
+def build_blocks(
+    streams: Sequence[np.ndarray], block_len: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack streams into [B, L] padded blocks + lengths + histories."""
+    L = block_len
+    lens = [int(np.asarray(s).size) for s in streams]
+    nb, first = plan_blocks(lens, L)
+    B = int(nb.sum())
+    x = np.zeros((B, L), dtype=np.int32)
+    n = np.zeros(B, dtype=np.int32)
+    hist = np.zeros((B, HISTORY_LEN), dtype=np.int32)
+    for si, s in enumerate(streams):
+        s = np.asarray(s, dtype=np.int32)
+        ns, k, f = s.size, int(nb[si]), int(first[si])
+        if k == 0:
+            continue
+        buf = np.zeros(k * L, dtype=np.int32)
+        buf[:ns] = s
+        x[f : f + k] = buf.reshape(k, L)
+        n[f : f + k] = L
+        n[f + k - 1] = ns - (k - 1) * L
+        starts = np.arange(k, dtype=np.int64) * L
+        for j in range(HISTORY_LEN):
+            idx = starts - 1 - j
+            hist[f : f + k, j] = np.where(idx >= 0, s[np.maximum(idx, 0)], 0)
+    return x, n, hist, nb, first
+
+
+def compact_payload(payload: np.ndarray, bit_len: np.ndarray) -> np.ndarray:
+    """[B, W] padded payloads -> concatenated exact-size words (frame layout)."""
+    wc = (bit_len.astype(np.int64) + 31) // 32
+    total = int(wc.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint32)
+    block_id = np.repeat(np.arange(payload.shape[0], dtype=np.int64), wc)
+    off = np.zeros(wc.size + 1, dtype=np.int64)
+    np.cumsum(wc, out=off[1:])
+    within = np.arange(total, dtype=np.int64) - off[block_id]
+    return payload[block_id, within]
+
+
+def pad_payload(
+    compact: np.ndarray, word_off: np.ndarray, num_blocks: int, width: int
+) -> np.ndarray:
+    """Inverse of compact_payload: [total] -> [B, width] rows (zero padded)."""
+    out = np.zeros((num_blocks, width), dtype=np.uint32)
+    wc = np.diff(word_off)
+    total = int(word_off[-1])
+    if total:
+        block_id = np.repeat(np.arange(num_blocks, dtype=np.int64), wc)
+        within = np.arange(total, dtype=np.int64) - word_off[block_id]
+        out[block_id, within] = compact
+    return out
+
+
+def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    pad = [(0, size - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+# ------------------------------------------------------------ public API
+
+
+def compress(
+    streams: Sequence[np.ndarray],
+    cfg: CodecConfig | None = None,
+    stream_ids: Sequence[int] | None = None,
+    cadences: Sequence[int] | None = None,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+    backend: str | None = None,
+) -> Frame:
+    cfg = cfg or CodecConfig()
+    L = cfg.block_len
+    x, n, hist, nb, first = build_blocks(streams, L)
+    B = x.shape[0]
+
+    preds, ks, tis, bls, payloads = [], [], [], [], []
+    for c0 in range(0, B, chunk_blocks):
+        c1 = min(c0 + chunk_blocks, B)
+        size = chunk_blocks if B > chunk_blocks else B  # single small batch ok
+        enc = encode_blocks(
+            _pad_chunk(x[c0:c1], size),
+            _pad_chunk(n[c0:c1], size),
+            _pad_chunk(hist[c0:c1], size),
+            cfg,
+            backend or "xla",
+        )
+        m = c1 - c0
+        preds.append(np.asarray(enc.predictor[:m]))
+        ks.append(np.asarray(enc.k[:m]))
+        tis.append(np.asarray(enc.table_idx[:m]))
+        bls.append(np.asarray(enc.bit_len[:m]))
+        payloads.append(compact_payload(np.asarray(enc.payload[:m]), bls[-1]))
+
+    def cat(parts, dtype):
+        return (
+            np.concatenate(parts).astype(dtype)
+            if parts
+            else np.zeros(0, dtype=dtype)
+        )
+
+    blocks = BlockHeaders(
+        predictor=cat(preds, np.uint8),
+        k=cat(ks, np.uint8),
+        n=n.astype(np.uint16),
+        bit_len=cat(bls, np.uint32),
+        table_idx=cat(tis, np.uint8),
+        history=hist,
+    )
+    metas = [
+        StreamMeta(
+            stream_id=int(stream_ids[si]) if stream_ids is not None else si,
+            cadence_s=int(cadences[si]) if cadences is not None else 900,
+            num_samples=int(np.asarray(streams[si]).size),
+            num_blocks=int(nb[si]),
+            first_block=int(first[si]),
+        )
+        for si in range(len(streams))
+    ]
+    payload_words = cat(payloads, np.uint32)
+    return Frame(
+        block_len=L,
+        streams=metas,
+        blocks=blocks,
+        tables=cfg.lpc_tables,
+        payload_words=payload_words,
+    )
+
+
+def decompress(
+    frame: Frame,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+    backend: str | None = None,
+) -> List[np.ndarray]:
+    L = frame.block_len
+    B = frame.blocks.num_blocks
+    Wp = padded_words(L) + 2
+    word_off = frame.blocks.word_offsets()
+    padded = pad_payload(frame.payload_words, word_off, B, Wp)
+
+    coeffs = np.array(
+        [t.coeffs for t in frame.tables], dtype=np.int64
+    ).reshape(len(frame.tables), 4) if frame.tables else np.zeros((1, 4), np.int64)
+
+    xs = np.zeros((B, L), dtype=np.int32)
+    for c0 in range(0, B, chunk_blocks):
+        c1 = min(c0 + chunk_blocks, B)
+        size = chunk_blocks if B > chunk_blocks else B
+        has_lpc = bool(np.any(frame.blocks.predictor[c0:c1] == LPC))
+        out = decode_blocks(
+            _pad_chunk(padded[c0:c1], size),
+            _pad_chunk(frame.blocks.k[c0:c1].astype(np.int32), size),
+            _pad_chunk(frame.blocks.n[c0:c1].astype(np.int32), size),
+            _pad_chunk(frame.blocks.predictor[c0:c1].astype(np.int32), size),
+            _pad_chunk(frame.blocks.table_idx[c0:c1].astype(np.int32), size),
+            _pad_chunk(frame.blocks.history[c0:c1], size),
+            coeffs,
+            L,
+            has_lpc,
+            backend or "xla",
+        )
+        xs[c0:c1] = np.asarray(out[: c1 - c0])
+
+    streams = []
+    for s in frame.streams:
+        flat = xs[s.first_block : s.first_block + s.num_blocks].reshape(-1)
+        streams.append(flat[: s.num_samples].copy())
+    return streams

@@ -1,0 +1,63 @@
+"""Jitted block-batch encoder: [B, L] samples -> packed payloads + metadata.
+
+The whole encode pipeline (SURVEY.md §3 E1 device section) is one jit region:
+candidate residuals -> zigzag -> exact per-(candidate, k) coded-length sweep ->
+per-block argmin selection -> codeword emission -> parallel bit pack. No
+data-dependent shapes anywhere; selection is gather/where, not control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dctpu.codec import predict, rice
+from dctpu.config import CodecConfig
+from dctpu.constants import LPC
+from dctpu.kernels import api as kernels
+
+
+class EncodedBlocks(NamedTuple):
+    predictor: jnp.ndarray  # [B] i32
+    k: jnp.ndarray          # [B] i32
+    table_idx: jnp.ndarray  # [B] i32
+    bit_len: jnp.ndarray    # [B] i32
+    payload: jnp.ndarray    # [B, W] u32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def encode_blocks(
+    x: jnp.ndarray,        # [B, L] int32
+    n: jnp.ndarray,        # [B] int32 valid lengths
+    history: jnp.ndarray,  # [B, 4] int32
+    cfg: CodecConfig,
+    backend: str = "xla",
+) -> EncodedBlocks:
+    B, L = x.shape
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]  # [B, L]
+
+    cands = cfg.candidates()
+    r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
+    z_all = rice.zigzag(r_all)
+
+    # Exact per-candidate k selection (masked to valid samples).
+    k_c, bits_c = rice.choose_k(z_all, valid[None, :, :], cfg.k_max)  # [C, B]
+
+    # Candidate argmin; ties -> earliest candidate (normative order).
+    choice = jnp.argmin(bits_c, axis=0).astype(jnp.int32)  # [B]
+    k = jnp.take_along_axis(k_c, choice[None, :], axis=0)[0]
+    z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]  # [B, L]
+
+    pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
+    tidx_ids = jnp.array(
+        [ti if p == LPC else 0 for p, ti in cands], dtype=jnp.int32
+    )
+    predictor = pred_ids[choice]
+    table_idx = tidx_ids[choice]
+
+    code_lo, code_hi, length = rice.codewords(z, k[:, None])
+    payload, bit_len = kernels.pack(code_lo, code_hi, length, valid, backend)
+    return EncodedBlocks(predictor, k, table_idx, bit_len, payload)

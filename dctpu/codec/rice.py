@@ -1,0 +1,78 @@
+"""Vectorized zigzag + Golomb-Rice codeword math (docs/FORMAT.md §2, §4).
+
+Everything here is elementwise uint32 VPU work: codeword values/lengths for a
+whole [B, L] block batch at once, and the exact per-block k selection as a
+static sweep over k ∈ [0, K_MAX]. Replaces the reference's per-sample
+rice_encode loop (SURVEY.md §3 hot loop) with batched array ops.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from dctpu.constants import ESCAPE_Q, K_MAX, MAX_CODE_BITS
+
+
+def zigzag(r: jnp.ndarray) -> jnp.ndarray:
+    u = r.astype(jnp.uint32)
+    return (u << jnp.uint32(1)) ^ (r >> 31).astype(jnp.uint32)
+
+
+def unzigzag(z: jnp.ndarray) -> jnp.ndarray:
+    return ((z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1)))).astype(
+        jnp.int32
+    )
+
+
+def code_lengths(z: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Codeword bit lengths, int32. k broadcasts against z."""
+    k = k.astype(jnp.uint32)
+    q = z >> k  # stay uint32: the escape compare must be unsigned
+    esc = q >= ESCAPE_Q
+    # q.astype(int32) is only read on non-escape lanes, where q <= 15.
+    return jnp.where(
+        esc, MAX_CODE_BITS, q.astype(jnp.int32) + 1 + k.astype(jnp.int32)
+    )
+
+
+def choose_k(z: jnp.ndarray, valid: jnp.ndarray, k_max: int = K_MAX) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-block argmin_k of total coded bits over valid samples.
+
+    z: [..., L] uint32, valid: [..., L] bool. Returns (k [...], bits [...]).
+    Ties choose the smallest k (argmin returns the first minimum).
+    """
+    totals = []
+    for k in range(k_max + 1):
+        lens = code_lengths(z, jnp.uint32(k))
+        totals.append(jnp.sum(jnp.where(valid, lens, 0), axis=-1))
+    totals = jnp.stack(totals, axis=-1)  # [..., K+1]
+    k_best = jnp.argmin(totals, axis=-1).astype(jnp.int32)
+    bits_best = jnp.take_along_axis(totals, k_best[..., None], axis=-1)[..., 0]
+    return k_best, bits_best
+
+
+def codewords(z: jnp.ndarray, k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(code_lo u32, code_hi u32, length i32) per sample; 32-bit ops only.
+
+    The codeword integer (bit 0 = first stream bit) split into low/high words:
+      normal: ((1<<q)-1) | (low_k(z) << (q+1)),  len = q+1+k  (q < 16)
+      escape: 0xFFFF | (z << 16),                len = 48
+    """
+    ku = k.astype(jnp.uint32)
+    q = z >> ku
+    esc = q >= ESCAPE_Q
+    qe = jnp.minimum(q, jnp.uint32(ESCAPE_Q - 1))  # clamp for shift safety
+    ones = (jnp.uint32(1) << qe) - jnp.uint32(1)
+    lowk = z & ((jnp.uint32(1) << ku) - jnp.uint32(1))
+    lo_n = ones | (lowk << (qe + jnp.uint32(1)))          # u32 wrap keeps low bits
+    hi_n = lowk >> (jnp.uint32(31) - qe)                   # bits 32.. of the code
+    lo_e = jnp.uint32(0xFFFF) | (z << jnp.uint32(16))
+    hi_e = z >> jnp.uint32(16)
+    code_lo = jnp.where(esc, lo_e, lo_n)
+    code_hi = jnp.where(esc, hi_e, hi_n)
+    length = jnp.where(
+        esc, MAX_CODE_BITS, q.astype(jnp.int32) + 1 + k.astype(jnp.int32)
+    )
+    return code_lo, code_hi, length

@@ -1,0 +1,43 @@
+"""Kernel backend dispatch: 'xla' (portable fallback) or 'pallas' (TPU).
+
+The two backends implement the identical interface and are cross-tested for
+bit-identical output (SURVEY.md §4 "Kernel" tier). Selection: explicit argument
+or the DCTPU_KERNEL_BACKEND env var; defaults to 'xla' until the Pallas path is
+validated on the target platform.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from dctpu.kernels.pack_xla import pack_xla
+from dctpu.kernels.unpack_xla import unpack_xla
+
+
+def default_backend() -> str:
+    return os.environ.get("DCTPU_KERNEL_BACKEND", "xla")
+
+
+def pack(code_lo, code_hi, length, valid, backend: str | None = None):
+    backend = backend or default_backend()
+    if backend == "xla":
+        return pack_xla(code_lo, code_hi, length, valid)
+    if backend == "pallas":
+        from dctpu.kernels.pack_pallas import pack_pallas
+
+        return pack_pallas(code_lo, code_hi, length, valid)
+    raise ValueError(f"unknown kernel backend {backend!r}")
+
+
+def unpack(payload, k, n, block_len: int, backend: str | None = None):
+    backend = backend or default_backend()
+    if backend == "xla":
+        return unpack_xla(payload, k, n, block_len)
+    if backend == "pallas":
+        from dctpu.kernels.unpack_pallas import unpack_pallas
+
+        return unpack_pallas(payload, k, n, block_len)
+    raise ValueError(f"unknown kernel backend {backend!r}")

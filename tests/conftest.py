@@ -5,12 +5,21 @@ Must set env vars BEFORE jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 fake devices. NOTE: the ambient environment injects a
+# sitecustomize.py (PYTHONPATH=/root/.axon_site) that registers the axon TPU
+# backend at interpreter startup and sets jax_platforms='axon,cpu' — env vars
+# alone cannot override it. The config update below runs before any backend is
+# initialized, which does.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,60 @@
+"""XLA codec vs scalar reference: byte-identical frames, bit-exact decode.
+
+SURVEY.md §4 "Oracle"/"Property" tiers for the device path (CPU backend here;
+the same jitted functions run on TPU unchanged).
+"""
+
+import numpy as np
+import pytest
+
+from dctpu.codec import api as xcodec
+from dctpu.codec import scalar
+from dctpu.config import CodecConfig
+from dctpu.constants import DELTA, DOUBLE_DELTA, LPC
+from dctpu.corpus import synth_corpus
+from dctpu.format import read_frame, write_frame
+from tests.conftest import stream_cases
+
+
+def _assert_frames_equal(streams, cfg, **kw):
+    py = write_frame(scalar.scalar_compress(streams, cfg))
+    xf = xcodec.compress(streams, cfg, **kw)
+    xb = write_frame(xf)
+    assert xb == py, "XLA frame differs from scalar reference frame"
+    out = xcodec.decompress(read_frame(xb))
+    for a, b in zip(streams, out):
+        assert np.array_equal(np.asarray(a, dtype=np.int32), b)
+
+
+def test_xla_matches_scalar_adversarial(rng):
+    _assert_frames_equal(stream_cases(rng), CodecConfig(block_len=256))
+
+
+def test_xla_matches_scalar_corpus():
+    streams, _, _ = synth_corpus(4, 2000, seed=3, mixed_cadence=True, cumulative_frac=0.5)
+    _assert_frames_equal(streams, CodecConfig(block_len=512))
+
+
+def test_xla_chunking_invariance(rng):
+    streams, _, _ = synth_corpus(3, 3000, seed=5)
+    cfg = CodecConfig(block_len=256)
+    a = write_frame(xcodec.compress(streams, cfg, chunk_blocks=4))
+    b = write_frame(xcodec.compress(streams, cfg, chunk_blocks=64))
+    assert a == b
+
+
+def test_xla_delta_only_config(rng):
+    cfg = CodecConfig(block_len=512, predictors=(DELTA,))
+    streams = stream_cases(rng)[:5]
+    _assert_frames_equal(streams, cfg)
+
+
+def test_xla_escape_heavy(rng):
+    # full-range random -> mostly escape codes; stresses 3-word straddles
+    x = rng.integers(-(2**31), 2**31, size=5000, dtype=np.int64).astype(np.int32)
+    _assert_frames_equal([x], CodecConfig(block_len=1024))
+
+
+def test_xla_empty_and_tiny():
+    streams = [np.zeros(0, np.int32), np.array([42], np.int32), np.arange(3, dtype=np.int32)]
+    _assert_frames_equal(streams, CodecConfig())

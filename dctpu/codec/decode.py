@@ -17,10 +17,7 @@ from dctpu.codec import predict, rice
 from dctpu.kernels import api as kernels
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_len", "has_lpc", "backend")
-)
-def decode_blocks(
+def decode_blocks_body(
     payload: jnp.ndarray,       # [B, Wp] u32 (>=2 words zero padding per row)
     k: jnp.ndarray,             # [B] i32
     n: jnp.ndarray,             # [B] i32
@@ -39,3 +36,8 @@ def decode_blocks(
     )
     valid = jnp.arange(block_len, dtype=jnp.int32)[None, :] < n[:, None]
     return jnp.where(valid, x, 0)
+
+
+decode_blocks = jax.jit(
+    decode_blocks_body, static_argnames=("block_len", "has_lpc", "backend")
+)

@@ -28,14 +28,14 @@ class EncodedBlocks(NamedTuple):
     payload: jnp.ndarray    # [B, W] u32
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
-def encode_blocks(
+def encode_blocks_body(
     x: jnp.ndarray,        # [B, L] int32
     n: jnp.ndarray,        # [B] int32 valid lengths
     history: jnp.ndarray,  # [B, 4] int32
     cfg: CodecConfig,
     backend: str = "xla",
 ) -> EncodedBlocks:
+    """Traceable encode pipeline; also the per-shard body under shard_map."""
     B, L = x.shape
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]  # [B, L]
 
@@ -61,3 +61,8 @@ def encode_blocks(
     code_lo, code_hi, length = rice.codewords(z, k[:, None])
     payload, bit_len = kernels.pack(code_lo, code_hi, length, valid, backend)
     return EncodedBlocks(predictor, k, table_idx, bit_len, payload)
+
+
+encode_blocks = jax.jit(
+    encode_blocks_body, static_argnames=("cfg", "backend")
+)

@@ -1,0 +1,221 @@
+"""shard_map data-parallel encode/decode over the `streams` mesh axis.
+
+Design (SURVEY.md §2.2, §3 E3): blocks are embarrassingly parallel, so each
+device runs the identical jitted codec body on its shard of the [B, L] block
+batch. Small shared state (LPC coefficient tables) is passed replicated —
+GSPMD broadcasts it over ICI once. Results come back as global arrays in
+block-table order, which IS the ordered gather: the frame assembler reads
+global arrays index-ordered, so no reordering collective is needed; only the
+host-side compaction walks the (sharded) payload in order.
+
+Every function here also runs unmodified on a multi-host global mesh: inputs
+are passed as per-host shards via make_array_from_process_local_data and
+outputs are fetched with process_allgather (dctpu.dist.multihost).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from dctpu.codec.decode import decode_blocks_body
+from dctpu.codec.encode import EncodedBlocks, encode_blocks_body
+from dctpu.config import CodecConfig
+from dctpu.dist.mesh import STREAMS_AXIS
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "backend")
+)
+def encode_blocks_sharded(
+    x: jnp.ndarray,        # [B, L] int32, B divisible by mesh size
+    n: jnp.ndarray,        # [B]
+    history: jnp.ndarray,  # [B, 4]
+    cfg: CodecConfig,
+    mesh: Mesh,
+    backend: str = "xla",
+) -> EncodedBlocks:
+    body = functools.partial(encode_blocks_body, cfg=cfg, backend=backend)
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(STREAMS_AXIS, None), P(STREAMS_AXIS), P(STREAMS_AXIS, None)),
+        out_specs=EncodedBlocks(
+            P(STREAMS_AXIS), P(STREAMS_AXIS), P(STREAMS_AXIS),
+            P(STREAMS_AXIS), P(STREAMS_AXIS, None),
+        ),
+        check_vma=False,
+    )
+    return sharded(x, n, history)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "has_lpc", "mesh", "backend")
+)
+def decode_blocks_sharded(
+    payload: jnp.ndarray,       # [B, Wp] u32
+    k: jnp.ndarray,
+    n: jnp.ndarray,
+    predictor: jnp.ndarray,
+    table_idx: jnp.ndarray,
+    history: jnp.ndarray,
+    table_coeffs: jnp.ndarray,  # [T, 4] i64 — replicated (ICI broadcast)
+    block_len: int,
+    has_lpc: bool,
+    mesh: Mesh,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    body = functools.partial(
+        decode_blocks_body,
+        block_len=block_len,
+        has_lpc=has_lpc,
+        backend=backend,
+    )
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(STREAMS_AXIS, None), P(STREAMS_AXIS), P(STREAMS_AXIS),
+            P(STREAMS_AXIS), P(STREAMS_AXIS), P(STREAMS_AXIS, None),
+            P(),  # tables replicated
+        ),
+        out_specs=P(STREAMS_AXIS, None),
+        check_vma=False,
+    )
+    return sharded(payload, k, n, predictor, table_idx, history, table_coeffs)
+
+
+# ------------------------------------------------------------ host wrappers
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def compress_sharded(
+    streams: Sequence[np.ndarray],
+    cfg: CodecConfig | None = None,
+    mesh: Mesh | None = None,
+    stream_ids: Sequence[int] | None = None,
+    cadences: Sequence[int] | None = None,
+    chunk_blocks: int = 2048,
+    backend: str | None = None,
+):
+    """Single-process sharded compress: same Frame as dctpu.codec.compress."""
+    from dctpu.codec import api as capi
+    from dctpu.dist.mesh import make_mesh
+    from dctpu.format.frame import BlockHeaders, Frame, StreamMeta
+
+    cfg = cfg or CodecConfig()
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    L = cfg.block_len
+    x, n, hist, nb, first = capi.build_blocks(streams, L)
+    B = x.shape[0]
+    chunk = _round_up(chunk_blocks, ndev)
+
+    preds, ks, tis, bls, payloads = [], [], [], [], []
+    for c0 in range(0, B, chunk):
+        c1 = min(c0 + chunk, B)
+        size = chunk if B > chunk else _round_up(max(B, 1), ndev)
+        enc = encode_blocks_sharded(
+            capi._pad_chunk(x[c0:c1], size),
+            capi._pad_chunk(n[c0:c1], size),
+            capi._pad_chunk(hist[c0:c1], size),
+            cfg,
+            mesh,
+            backend or "xla",
+        )
+        m = c1 - c0
+        preds.append(np.asarray(enc.predictor[:m]))
+        ks.append(np.asarray(enc.k[:m]))
+        tis.append(np.asarray(enc.table_idx[:m]))
+        bls.append(np.asarray(enc.bit_len[:m]))
+        payloads.append(capi.compact_payload(np.asarray(enc.payload[:m]), bls[-1]))
+
+    def cat(parts, dtype):
+        return np.concatenate(parts).astype(dtype) if parts else np.zeros(0, dtype=dtype)
+
+    blocks = BlockHeaders(
+        predictor=cat(preds, np.uint8),
+        k=cat(ks, np.uint8),
+        n=n.astype(np.uint16),
+        bit_len=cat(bls, np.uint32),
+        table_idx=cat(tis, np.uint8),
+        history=hist,
+    )
+    metas = [
+        StreamMeta(
+            stream_id=int(stream_ids[si]) if stream_ids is not None else si,
+            cadence_s=int(cadences[si]) if cadences is not None else 900,
+            num_samples=int(np.asarray(streams[si]).size),
+            num_blocks=int(nb[si]),
+            first_block=int(first[si]),
+        )
+        for si in range(len(streams))
+    ]
+    return Frame(
+        block_len=L,
+        streams=metas,
+        blocks=blocks,
+        tables=cfg.lpc_tables,
+        payload_words=cat(payloads, np.uint32),
+    )
+
+
+def decompress_sharded(
+    frame,
+    mesh: Mesh | None = None,
+    chunk_blocks: int = 2048,
+    backend: str | None = None,
+) -> List[np.ndarray]:
+    from dctpu.codec import api as capi
+    from dctpu.constants import LPC
+    from dctpu.dist.mesh import make_mesh
+    from dctpu.kernels.pack_xla import padded_words
+
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    L = frame.block_len
+    B = frame.blocks.num_blocks
+    Wp = padded_words(L) + 2
+    word_off = frame.blocks.word_offsets()
+    padded = capi.pad_payload(frame.payload_words, word_off, B, Wp)
+    coeffs = (
+        np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)
+        if frame.tables
+        else np.zeros((1, 4), np.int64)
+    )
+    chunk = _round_up(chunk_blocks, ndev)
+    has_lpc = bool(np.any(frame.blocks.predictor == LPC))
+
+    xs = np.zeros((B, L), dtype=np.int32)
+    for c0 in range(0, B, chunk):
+        c1 = min(c0 + chunk, B)
+        size = chunk if B > chunk else _round_up(max(B, 1), ndev)
+        out = decode_blocks_sharded(
+            capi._pad_chunk(padded[c0:c1], size),
+            capi._pad_chunk(frame.blocks.k[c0:c1].astype(np.int32), size),
+            capi._pad_chunk(frame.blocks.n[c0:c1].astype(np.int32), size),
+            capi._pad_chunk(frame.blocks.predictor[c0:c1].astype(np.int32), size),
+            capi._pad_chunk(frame.blocks.table_idx[c0:c1].astype(np.int32), size),
+            capi._pad_chunk(frame.blocks.history[c0:c1], size),
+            coeffs,
+            L,
+            has_lpc,
+            mesh,
+            backend or "xla",
+        )
+        xs[c0:c1] = np.asarray(out[: c1 - c0])
+
+    out_streams = []
+    for s in frame.streams:
+        flat = xs[s.first_block : s.first_block + s.num_blocks].reshape(-1)
+        out_streams.append(flat[: s.num_samples].copy())
+    return out_streams

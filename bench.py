@@ -66,8 +66,9 @@ def main():
 
     # ---- decode ----
     bit_len = np.asarray(enc.bit_len)
-    compact = capi.compact_payload(np.asarray(enc.payload), bit_len)
-    wc = (bit_len.astype(np.int64) + 31) // 32
+    from dctpu.format.frame import payload_word_counts
+    compact = capi.compact_payload(np.asarray(enc.payload), bit_len, L)
+    wc = payload_word_counts(bit_len, L)
     word_off = np.zeros(wc.size + 1, dtype=np.int64)
     np.cumsum(wc, out=word_off[1:])
     padded = capi.pad_payload(compact, word_off, B, padded_words(L) + 2)

@@ -17,7 +17,13 @@ from dctpu.codec.decode import decode_blocks
 from dctpu.codec.encode import encode_blocks
 from dctpu.config import CodecConfig
 from dctpu.constants import HISTORY_LEN, LPC
-from dctpu.format.frame import BlockHeaders, Frame, StreamMeta, plan_blocks
+from dctpu.format.frame import (
+    BlockHeaders,
+    Frame,
+    StreamMeta,
+    payload_word_counts,
+    plan_blocks,
+)
 from dctpu.kernels.pack_xla import padded_words
 
 DEFAULT_CHUNK_BLOCKS = 2048
@@ -54,9 +60,9 @@ def build_blocks(
     return x, n, hist, nb, first
 
 
-def compact_payload(payload: np.ndarray, bit_len: np.ndarray) -> np.ndarray:
+def compact_payload(payload: np.ndarray, bit_len: np.ndarray, block_len: int) -> np.ndarray:
     """[B, W] padded payloads -> concatenated exact-size words (frame layout)."""
-    wc = (bit_len.astype(np.int64) + 31) // 32
+    wc = payload_word_counts(bit_len, block_len)
     total = int(wc.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint32)
@@ -120,7 +126,7 @@ def compress(
         ks.append(np.asarray(enc.k[:m]))
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
-        payloads.append(compact_payload(np.asarray(enc.payload[:m]), bls[-1]))
+        payloads.append(compact_payload(np.asarray(enc.payload[:m]), bls[-1], L))
 
     def cat(parts, dtype):
         return (
@@ -165,7 +171,7 @@ def decompress(
     L = frame.block_len
     B = frame.blocks.num_blocks
     Wp = padded_words(L) + 2
-    word_off = frame.blocks.word_offsets()
+    word_off = frame.blocks.word_offsets(L)
     padded = pad_payload(frame.payload_words, word_off, B, Wp)
 
     coeffs = np.array(

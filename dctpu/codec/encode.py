@@ -59,7 +59,7 @@ def encode_blocks_body(
     table_idx = tidx_ids[choice]
 
     code_lo, code_hi, length = rice.codewords(z, k[:, None])
-    payload, bit_len = kernels.pack(code_lo, code_hi, length, valid, backend)
+    payload, bit_len = kernels.pack(code_lo, code_hi, length, valid, L, backend)
     return EncodedBlocks(predictor, k, table_idx, bit_len, payload)
 
 

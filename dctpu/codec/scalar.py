@@ -23,6 +23,9 @@ from dctpu.constants import (
     LPC,
     LPC_SHIFT,
     MAX_CODE_BITS,
+    SUB_BLOCK,
+    subs_per_block,
+    sync_words,
 )
 from dctpu.format.frame import BlockHeaders, Frame, StreamMeta, plan_blocks
 
@@ -164,10 +167,26 @@ def pack_bits(codes: Sequence[Tuple[int, int]]) -> Tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<u4").copy(), off
 
 
+def sync_table(code_lens: Sequence[int], block_len: int) -> np.ndarray:
+    """Per-sub-block bit lengths (u16) -> packed u32 sync words (FORMAT §2.1)."""
+    subs = subs_per_block(block_len)
+    lens16 = np.zeros(subs, dtype=np.uint16)
+    for s in range(subs):
+        seg = code_lens[s * SUB_BLOCK : (s + 1) * SUB_BLOCK]
+        lens16[s] = sum(seg)
+    padded = np.zeros(2 * sync_words(block_len), dtype=np.uint16)
+    padded[:subs] = lens16
+    return padded.view("<u4").copy()
+
+
 def scalar_encode_block(
     x: np.ndarray, history: np.ndarray, cfg: CodecConfig
 ) -> Tuple[int, int, int, int, np.ndarray]:
-    """Encode one block -> (predictor, k, table_idx, bit_len, payload_words)."""
+    """Encode one block -> (predictor, k, table_idx, bit_len, payload_words).
+
+    payload_words = sync table words + packed code bitstream words.
+    bit_len counts bitstream bits only (excludes the sync table).
+    """
     best = None  # (bits, cand_idx, predictor, table_idx, k, z)
     for ci, (pred, ti) in enumerate(cfg.candidates()):
         table = cfg.lpc_tables[ti] if pred == LPC else None
@@ -179,7 +198,8 @@ def scalar_encode_block(
     codes = [rice_codeword(int(zv), k) for zv in z]
     words, bit_len = pack_bits(codes)
     assert bit_len == bits
-    return pred, k, ti, bit_len, words
+    sync = sync_table([ln for _, ln in codes], cfg.block_len)
+    return pred, k, ti, bit_len, np.concatenate([sync, words])
 
 
 def scalar_decode_block(
@@ -189,12 +209,25 @@ def scalar_decode_block(
     k: int,
     history: np.ndarray,
     table: LpcTable | None,
+    block_len: int,
 ) -> np.ndarray:
-    """Decode one block's payload back to n int32 samples."""
-    acc = int.from_bytes(np.ascontiguousarray(payload_words, dtype="<u4").tobytes(), "little")
+    """Decode one block's payload back to n int32 samples.
+
+    Sequential reference decode; cross-checks the sync table (FORMAT §2.1)
+    against actual code lengths as it goes.
+    """
+    sw = sync_words(block_len)
+    sync = np.ascontiguousarray(payload_words[:sw], dtype="<u4").view("<u2")
+    words = payload_words[sw:]
+    acc = int.from_bytes(np.ascontiguousarray(words, dtype="<u4").tobytes(), "little")
     z = np.empty(n, dtype=np.uint32)
     p = 0
+    sub_start = 0
     for t in range(n):
+        if t % SUB_BLOCK == 0 and t > 0:
+            s = t // SUB_BLOCK
+            assert p - sub_start == int(sync[s - 1]), "sync table mismatch"
+            sub_start = p
         ones = 0
         while ones < ESCAPE_Q and (acc >> (p + ones)) & 1:
             ones += 1
@@ -281,7 +314,7 @@ def scalar_compress(
 
 
 def scalar_decompress(frame: Frame) -> List[np.ndarray]:
-    off = frame.blocks.word_offsets()
+    off = frame.blocks.word_offsets(frame.block_len)
     out: List[np.ndarray] = []
     for s in frame.streams:
         parts = []
@@ -299,6 +332,7 @@ def scalar_decompress(frame: Frame) -> List[np.ndarray]:
                     int(frame.blocks.k[bi]),
                     frame.blocks.history[bi],
                     table,
+                    frame.block_len,
                 )
             )
         out.append(

@@ -22,6 +22,19 @@ LPC_MAX_ORDER = 4
 
 BLOCK_LEN_DEFAULT = 4096
 
+# Sub-block sync framing (docs/FORMAT.md §2.1): every block's payload starts
+# with per-128-sample code bit-lengths so decode parallelizes within blocks.
+SUB_BLOCK = 128
+
+
+def subs_per_block(block_len: int) -> int:
+    return (block_len + SUB_BLOCK - 1) // SUB_BLOCK
+
+
+def sync_words(block_len: int) -> int:
+    """u32 words occupied by the sync table at the start of each payload."""
+    return (subs_per_block(block_len) + 1) // 2
+
 # Struct sizes (bytes)
 FILE_HEADER_BYTES = 64
 STREAM_DIR_BYTES = 32

@@ -109,7 +109,7 @@ def compress_multihost(
     # Payload: compact local shard, padded allgather, slice into global order.
     local_rows = _local_rows(enc.payload)
     local_bl = bl_g[pid * per_proc : (pid + 1) * per_proc]
-    local_compact = capi.compact_payload(local_rows, local_bl)
+    local_compact = capi.compact_payload(local_rows, local_bl, L)
     sizes = multihost_utils.process_allgather(
         np.array([local_compact.size], dtype=np.int64)
     ).reshape(-1)
@@ -170,7 +170,8 @@ def compress_multihost(
         base = p * per_proc
         sl = slice(base, base + p_blocks)
         frames_blocks.append((pred_g[sl], k_g[sl], ti_g[sl], bl_g[sl]))
-        wc = (bl_g[sl].astype(np.int64) + 31) // 32
+        from dctpu.format.frame import payload_word_counts
+        wc = payload_word_counts(bl_g[sl], L)
         off = np.zeros(wc.size + 1, dtype=np.int64)
         np.cumsum(wc, out=off[1:])
         payload_parts.append(gathered[p, : int(off[-1])])

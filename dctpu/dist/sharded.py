@@ -137,7 +137,7 @@ def compress_sharded(
         ks.append(np.asarray(enc.k[:m]))
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
-        payloads.append(capi.compact_payload(np.asarray(enc.payload[:m]), bls[-1]))
+        payloads.append(capi.compact_payload(np.asarray(enc.payload[:m]), bls[-1], L))
 
     def cat(parts, dtype):
         return np.concatenate(parts).astype(dtype) if parts else np.zeros(0, dtype=dtype)
@@ -185,7 +185,7 @@ def decompress_sharded(
     L = frame.block_len
     B = frame.blocks.num_blocks
     Wp = padded_words(L) + 2
-    word_off = frame.blocks.word_offsets()
+    word_off = frame.blocks.word_offsets(L)
     padded = capi.pad_payload(frame.payload_words, word_off, B, Wp)
     coeffs = (
         np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)

@@ -91,16 +91,23 @@ class BlockHeaders:
     def num_blocks(self) -> int:
         return int(self.predictor.shape[0])
 
-    def word_counts(self) -> np.ndarray:
-        """u32 words per block payload."""
-        return (self.bit_len.astype(np.int64) + 31) // 32
+    def word_counts(self, block_len: int) -> np.ndarray:
+        """u32 words per block payload (sync table + bitstream)."""
+        return payload_word_counts(self.bit_len, block_len)
 
-    def word_offsets(self) -> np.ndarray:
+    def word_offsets(self, block_len: int) -> np.ndarray:
         """Exclusive prefix sum of word_counts: payload word offset per block."""
-        wc = self.word_counts()
+        wc = self.word_counts(block_len)
         off = np.zeros(wc.size + 1, dtype=np.int64)
         np.cumsum(wc, out=off[1:])
         return off
+
+
+def payload_word_counts(bit_len: np.ndarray, block_len: int) -> np.ndarray:
+    """Sync table words + bitstream words per block (docs/FORMAT.md §2.1)."""
+    from dctpu.constants import sync_words
+
+    return sync_words(block_len) + (np.asarray(bit_len).astype(np.int64) + 31) // 32
 
 
 @dataclasses.dataclass

@@ -21,14 +21,14 @@ def default_backend() -> str:
     return os.environ.get("DCTPU_KERNEL_BACKEND", "xla")
 
 
-def pack(code_lo, code_hi, length, valid, backend: str | None = None):
+def pack(code_lo, code_hi, length, valid, block_len: int, backend: str | None = None):
     backend = backend or default_backend()
     if backend == "xla":
-        return pack_xla(code_lo, code_hi, length, valid)
+        return pack_xla(code_lo, code_hi, length, valid, block_len)
     if backend == "pallas":
         from dctpu.kernels.pack_pallas import pack_pallas
 
-        return pack_pallas(code_lo, code_hi, length, valid)
+        return pack_pallas(code_lo, code_hi, length, valid, block_len)
     raise ValueError(f"unknown kernel backend {backend!r}")
 
 

@@ -24,6 +24,10 @@ static constexpr uint32_t ESCAPE_Q = 16;
 static constexpr uint32_t RAW_BITS = 32;
 static constexpr uint32_t MAX_CODE_BITS = ESCAPE_Q + RAW_BITS;  // 48
 static constexpr int K_MAX = 24;
+static constexpr uint32_t SUB_BLOCK = 128;  // sync-table granularity (FORMAT §2.1)
+
+static inline uint32_t subs_per_block(uint32_t L) { return (L + SUB_BLOCK - 1) / SUB_BLOCK; }
+static inline uint32_t sync_word_count(uint32_t L) { return (subs_per_block(L) + 1) / 2; }
 static constexpr int HISTORY_LEN = 4;
 static constexpr int LPC_SHIFT = 16;
 static constexpr uint16_t DCF_VERSION = 1;
@@ -280,12 +284,24 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
     }
   }
 
+  // Sync table: per-sub-block code bit lengths (u16 pairs packed into u32).
+  uint32_t L = cfg.block_len;
+  uint32_t subs = subs_per_block(L);
+  std::vector<uint16_t> sub_lens(subs, 0);
+  for (int t = 0; t < n; t++)
+    sub_lens[t / SUB_BLOCK] += static_cast<uint16_t>(rice_len(best_z[t], best_k));
+  for (uint32_t w = 0; w < sync_word_count(L); w++) {
+    uint32_t lo = sub_lens[2 * w];
+    uint32_t hi = (2 * w + 1 < subs) ? sub_lens[2 * w + 1] : 0;
+    bw.words.push_back(lo | (hi << 16));
+  }
+
   for (int t = 0; t < n; t++) rice_emit(bw, best_z[t], best_k);
   meta->predictor = static_cast<uint8_t>(best_pred);
   meta->k = static_cast<uint8_t>(best_k);
   meta->table_idx = static_cast<uint8_t>(best_ti);
   meta->n = static_cast<uint16_t>(n);
-  meta->bit_len = static_cast<uint32_t>(best_bits);
+  meta->bit_len = static_cast<uint32_t>(best_bits);  // bitstream bits only
   memcpy(meta->history, h, sizeof(meta->history));
   bw.flush_block();
 }
@@ -500,9 +516,10 @@ static Corpus decode_frame(const std::vector<uint8_t>& buf) {
   size_t pay_words = hdr.payload_bytes / 4;
 
   // Prefix sum of per-block word counts -> parallel-decodable offsets.
+  uint32_t sw = sync_word_count(hdr.block_len);
   std::vector<uint64_t> word_off(btab.size() + 1, 0);
   for (size_t b = 0; b < btab.size(); b++)
-    word_off[b + 1] = word_off[b] + (btab[b].bit_len + 31) / 32;
+    word_off[b + 1] = word_off[b] + sw + (btab[b].bit_len + 31) / 32;
 
   Corpus c;
   for (const auto& d : dir) {
@@ -510,7 +527,9 @@ static Corpus decode_frame(const std::vector<uint8_t>& buf) {
     uint64_t written = 0;
     for (uint32_t bi = d.first_block; bi < d.first_block + d.num_blocks; bi++) {
       const BlockHeaderRec& bh = btab[bi];
-      BitReader br{payload + word_off[bi], static_cast<size_t>(word_off[bi + 1] - word_off[bi])};
+      // Skip the sync table; scalar decode reads the bitstream sequentially.
+      BitReader br{payload + word_off[bi] + sw,
+                   static_cast<size_t>(word_off[bi + 1] - word_off[bi] - sw)};
       (void)pay_words;
       std::vector<int32_t> r(bh.n);
       for (int t = 0; t < bh.n; t++) r[t] = unzigzag(rice_read(br, bh.k));

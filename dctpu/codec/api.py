@@ -126,7 +126,15 @@ def compress(
         ks.append(np.asarray(enc.k[:m]))
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
-        payloads.append(compact_payload(np.asarray(enc.payload[:m]), bls[-1], L))
+        if cfg.coder == "vertical":
+            from dctpu.codec.vertical_host import compact_vertical
+
+            words, _wc = compact_vertical(np.asarray(enc.payload[:m]), L)
+            payloads.append(words)
+        else:
+            payloads.append(
+                compact_payload(np.asarray(enc.payload[:m]), bls[-1], L)
+            )
 
     def cat(parts, dtype):
         return (
@@ -135,6 +143,9 @@ def compress(
             else np.zeros(0, dtype=dtype)
         )
 
+    from dctpu.constants import CODER_RICE, CODER_VERTICAL
+
+    coder_id = CODER_VERTICAL if cfg.coder == "vertical" else CODER_RICE
     blocks = BlockHeaders(
         predictor=cat(preds, np.uint8),
         k=cat(ks, np.uint8),
@@ -142,6 +153,7 @@ def compress(
         bit_len=cat(bls, np.uint32),
         table_idx=cat(tis, np.uint8),
         history=hist,
+        coder=np.full(B, coder_id, dtype=np.uint8),
     )
     metas = [
         StreamMeta(
@@ -168,11 +180,22 @@ def decompress(
     chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
     backend: str | None = None,
 ) -> List[np.ndarray]:
+    from dctpu.constants import CODER_VERTICAL
+
     L = frame.block_len
     B = frame.blocks.num_blocks
-    Wp = padded_words(L) + 2
     word_off = frame.blocks.word_offsets(L)
-    padded = pad_payload(frame.payload_words, word_off, B, Wp)
+    coders = frame.blocks.coder_arr()
+    vertical = bool(B) and bool(np.all(coders == CODER_VERTICAL))
+    if not vertical and B and np.any(coders == CODER_VERTICAL):
+        raise NotImplementedError("mixed-coder frames: decode per coder group")
+    if vertical:
+        from dctpu.codec.vertical_host import stage_vertical
+
+        padded = stage_vertical(frame.payload_words, word_off, L)
+    else:
+        Wp = padded_words(L) + 2
+        padded = pad_payload(frame.payload_words, word_off, B, Wp)
 
     coeffs = np.array(
         [t.coeffs for t in frame.tables], dtype=np.int64
@@ -194,6 +217,7 @@ def decompress(
             L,
             has_lpc,
             backend or "xla",
+            "vertical" if vertical else "rice",
         )
         xs[c0:c1] = np.asarray(out[: c1 - c0])
 

@@ -28,8 +28,14 @@ def decode_blocks_body(
     block_len: int,
     has_lpc: bool,
     backend: str = "xla",
+    coder: str = "rice",
 ) -> jnp.ndarray:
-    z = kernels.unpack(payload, k, n, block_len, backend)  # [B, L] u32
+    if coder == "vertical":
+        from dctpu.kernels.vertical_xla import decode_vertical
+
+        z = decode_vertical(payload, n, block_len)
+    else:
+        z = kernels.unpack(payload, k, n, block_len, backend)  # [B, L] u32
     r = rice.unzigzag(z)
     x = predict.reconstruct_all(
         r, history, predictor, table_coeffs, table_idx, has_lpc
@@ -39,5 +45,6 @@ def decode_blocks_body(
 
 
 decode_blocks = jax.jit(
-    decode_blocks_body, static_argnames=("block_len", "has_lpc", "backend")
+    decode_blocks_body,
+    static_argnames=("block_len", "has_lpc", "backend", "coder"),
 )

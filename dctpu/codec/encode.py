@@ -43,13 +43,20 @@ def encode_blocks_body(
     r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
     z_all = rice.zigzag(r_all)
 
-    # Exact per-candidate k selection (masked to valid samples).
-    k_c, bits_c = rice.choose_k(z_all, valid[None, :, :], cfg.k_max)  # [C, B]
+    if cfg.coder == "vertical":
+        from dctpu.kernels.vertical_xla import encode_vertical, vertical_total_words
 
-    # Candidate argmin; ties -> earliest candidate (normative order).
-    choice = jnp.argmin(bits_c, axis=0).astype(jnp.int32)  # [B]
-    k = jnp.take_along_axis(k_c, choice[None, :], axis=0)[0]
-    z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]  # [B, L]
+        cost_c = vertical_total_words(z_all, valid[None], L)  # [C, B]
+        choice = jnp.argmin(cost_c, axis=0).astype(jnp.int32)
+        z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]
+        k = jnp.zeros(B, jnp.int32)
+    else:
+        # Exact per-candidate k selection (masked to valid samples).
+        k_c, bits_c = rice.choose_k(z_all, valid[None, :, :], cfg.k_max)  # [C, B]
+        # Candidate argmin; ties -> earliest candidate (normative order).
+        choice = jnp.argmin(bits_c, axis=0).astype(jnp.int32)  # [B]
+        k = jnp.take_along_axis(k_c, choice[None, :], axis=0)[0]
+        z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]  # [B, L]
 
     pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
     tidx_ids = jnp.array(
@@ -58,8 +65,15 @@ def encode_blocks_body(
     predictor = pred_ids[choice]
     table_idx = tidx_ids[choice]
 
-    code_lo, code_hi, length = rice.codewords(z, k[:, None])
-    payload, bit_len = kernels.pack(code_lo, code_hi, length, valid, L, backend)
+    if cfg.coder == "vertical":
+        from dctpu.kernels.vertical_xla import encode_vertical
+
+        payload, bit_len = encode_vertical(z, n, L)
+    else:
+        code_lo, code_hi, length = rice.codewords(z, k[:, None])
+        payload, bit_len = kernels.pack(
+            code_lo, code_hi, length, valid, L, backend
+        )
     return EncodedBlocks(predictor, k, table_idx, bit_len, payload)
 
 

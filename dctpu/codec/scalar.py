@@ -16,6 +16,9 @@ import numpy as np
 
 from dctpu.config import CodecConfig, LpcTable
 from dctpu.constants import (
+    CODER_RICE,
+    CODER_VERTICAL,
+    EXC_CAP,
     DELTA,
     DOUBLE_DELTA,
     ESCAPE_Q,
@@ -24,6 +27,7 @@ from dctpu.constants import (
     LPC_SHIFT,
     MAX_CODE_BITS,
     SUB_BLOCK,
+    sub_caps,
     subs_per_block,
     sync_words,
 )
@@ -181,12 +185,24 @@ def sync_table(code_lens: Sequence[int], block_len: int) -> np.ndarray:
 
 def scalar_encode_block(
     x: np.ndarray, history: np.ndarray, cfg: CodecConfig
-) -> Tuple[int, int, int, int, np.ndarray]:
-    """Encode one block -> (predictor, k, table_idx, bit_len, payload_words).
+) -> Tuple[int, int, int, int, int, np.ndarray]:
+    """Encode one block -> (predictor, k, table_idx, coder, bit_len, payload).
 
-    payload_words = sync table words + packed code bitstream words.
-    bit_len counts bitstream bits only (excludes the sync table).
+    payload = sync table words + coded body words (docs/FORMAT.md §2.1/§2.2).
+    bit_len counts body bits only (excludes the sync table).
     """
+    if cfg.coder == "vertical":
+        best = None  # (words, predictor, table_idx, z)
+        for ci, (pred, ti) in enumerate(cfg.candidates()):
+            table = cfg.lpc_tables[ti] if pred == LPC else None
+            z = zigzag(residuals(x, history, pred, table))
+            cost = vertical_block_cost(z, x.size, cfg.block_len)
+            if best is None or cost < best[0]:
+                best = (cost, pred, ti if pred == LPC else 0, z)
+        _cost, pred, ti, z = best
+        bit_len, payload = vertical_encode_block(z, cfg.block_len)
+        return pred, 0, ti, CODER_VERTICAL, bit_len, payload
+
     best = None  # (bits, cand_idx, predictor, table_idx, k, z)
     for ci, (pred, ti) in enumerate(cfg.candidates()):
         table = cfg.lpc_tables[ti] if pred == LPC else None
@@ -199,7 +215,7 @@ def scalar_encode_block(
     words, bit_len = pack_bits(codes)
     assert bit_len == bits
     sync = sync_table([ln for _, ln in codes], cfg.block_len)
-    return pred, k, ti, bit_len, np.concatenate([sync, words])
+    return pred, k, ti, CODER_RICE, bit_len, np.concatenate([sync, words])
 
 
 def scalar_decode_block(
@@ -244,6 +260,123 @@ def scalar_decode_block(
     return reconstruct(r, history, predictor, table)
 
 
+# ---------------------------------------------------------------- vertical coder
+
+
+def vertical_sub_cost_words(z: np.ndarray, cap: int) -> Tuple[int, int]:
+    """Exact (b*, words) for one sub-block; ties -> smallest b (FORMAT §2.2).
+
+    Only widths with n_exc <= EXC_CAP are legal.
+    """
+    pw = (cap + 31) // 32
+    best = None
+    for b in range(33):
+        n_exc = int(np.count_nonzero(z >> b)) if b < 32 else 0
+        if n_exc > EXC_CAP:
+            continue
+        words = pw * b + (n_exc + 3) // 4 + n_exc
+        if best is None or words < best[1]:
+            best = (b, words)
+    return best
+
+
+def vertical_encode_sub(z: np.ndarray, cap: int) -> Tuple[int, int, List[int]]:
+    """One sub-block -> (b, n_exc, payload words)."""
+    b, _words = vertical_sub_cost_words(z, cap)
+    pw = (cap + 31) // 32
+    words: List[int] = []
+    for p in range(b):
+        for w in range(pw):
+            word = 0
+            for i in range(32 * w, min(32 * w + 32, z.size)):
+                word |= ((int(z[i]) >> p) & 1) << (i - 32 * w)
+            words.append(word)
+    exc_pos = [i for i in range(z.size) if (int(z[i]) >> b) != 0] if b < 32 else []
+    n_exc = len(exc_pos)
+    for w in range((n_exc + 3) // 4):
+        word = 0
+        for j in range(4 * w, min(4 * w + 4, n_exc)):
+            word |= exc_pos[j] << (8 * (j - 4 * w))
+        words.append(word)
+    for i in exc_pos:
+        words.append((int(z[i]) >> b) & _M32)
+    return b, n_exc, words
+
+
+def vertical_decode_sub(
+    words: np.ndarray, b: int, n_exc: int, cap: int, count: int
+) -> np.ndarray:
+    """Inverse of vertical_encode_sub -> `count` z values."""
+    pw = (cap + 31) // 32
+    z = np.zeros(count, dtype=np.uint32)
+    for p in range(b):
+        for w in range(pw):
+            word = int(words[p * pw + w])
+            for i in range(32 * w, min(32 * w + 32, count)):
+                z[i] |= np.uint32(((word >> (i - 32 * w)) & 1) << p)
+    base = b * pw
+    pos_words = (n_exc + 3) // 4
+    for j in range(n_exc):
+        pos = (int(words[base + j // 4]) >> (8 * (j % 4))) & 0xFF
+        val = int(words[base + pos_words + j])
+        z[pos] |= np.uint32((val << b) & _M32)
+    return z
+
+
+def vertical_encode_block(
+    z: np.ndarray, block_len: int
+) -> Tuple[int, np.ndarray]:
+    """All subs of one block -> (bit_len, payload words incl. sync table)."""
+    caps = sub_caps(block_len)
+    sync = np.zeros(2 * sync_words(block_len), dtype=np.uint16)
+    body: List[int] = []
+    for s, cap in enumerate(caps):
+        zz = z[s * SUB_BLOCK : s * SUB_BLOCK + cap]
+        if zz.size == 0:
+            continue
+        b, n_exc, words = vertical_encode_sub(zz, cap)
+        sync[s] = b | (n_exc << 6)
+        body.extend(words)
+    payload = np.concatenate(
+        [sync.view("<u4"), np.array(body, dtype=np.uint32)]
+    )
+    return 32 * len(body), payload
+
+
+def vertical_block_cost(z: np.ndarray, n: int, block_len: int) -> int:
+    """Total coded words for predictor selection under VERTICAL."""
+    caps = sub_caps(block_len)
+    total = 0
+    for s, cap in enumerate(caps):
+        zz = z[s * SUB_BLOCK : min(s * SUB_BLOCK + cap, n)]
+        if zz.size:
+            total += vertical_sub_cost_words(zz, cap)[1]
+    return total
+
+
+def vertical_decode_block(
+    payload_words: np.ndarray, n: int, block_len: int
+) -> np.ndarray:
+    sw = sync_words(block_len)
+    sync = np.ascontiguousarray(payload_words[:sw], dtype="<u4").view("<u2")
+    words = payload_words[sw:]
+    caps = sub_caps(block_len)
+    z = np.zeros(n, dtype=np.uint32)
+    off = 0
+    for s, cap in enumerate(caps):
+        count = min(cap, max(0, n - s * SUB_BLOCK))
+        if count == 0:
+            break
+        b, n_exc = int(sync[s]) & 0x3F, int(sync[s]) >> 6
+        pw = (cap + 31) // 32
+        nwords = pw * b + (n_exc + 3) // 4 + n_exc
+        z[s * SUB_BLOCK : s * SUB_BLOCK + count] = vertical_decode_sub(
+            words[off : off + nwords], b, n_exc, cap, count
+        )
+        off += nwords
+    return z
+
+
 # ---------------------------------------------------------------- full frames
 
 
@@ -273,6 +406,7 @@ def scalar_compress(
     nn = np.zeros(B, dtype=np.uint16)
     bit_len = np.zeros(B, dtype=np.uint32)
     table_idx = np.zeros(B, dtype=np.uint8)
+    coder = np.zeros(B, dtype=np.uint8)
     history = np.zeros((B, HISTORY_LEN), dtype=np.int32)
     payloads: List[np.ndarray] = []
 
@@ -292,9 +426,10 @@ def scalar_compress(
         for start in range(0, x.size, L):
             xb = x[start : start + L]
             h = _history_for(x, start)
-            pred, k, ti, bl, words = scalar_encode_block(xb, h, cfg)
+            pred, k, ti, cd, bl, words = scalar_encode_block(xb, h, cfg)
             predictor[b], kk[b], nn[b] = pred, k, xb.size
             bit_len[b], table_idx[b], history[b] = bl, ti, h
+            coder[b] = cd
             payloads.append(words)
             b += 1
 
@@ -302,7 +437,8 @@ def scalar_compress(
         np.concatenate(payloads) if payloads else np.zeros(0, dtype=np.uint32)
     )
     blocks = BlockHeaders(
-        predictor=predictor, k=kk, n=nn, bit_len=bit_len, table_idx=table_idx, history=history
+        predictor=predictor, k=kk, n=nn, bit_len=bit_len,
+        table_idx=table_idx, history=history, coder=coder,
     )
     return Frame(
         block_len=L,
@@ -318,23 +454,31 @@ def scalar_decompress(frame: Frame) -> List[np.ndarray]:
     out: List[np.ndarray] = []
     for s in frame.streams:
         parts = []
+        coders = frame.blocks.coder_arr()
         for bi in range(s.first_block, s.first_block + s.num_blocks):
             words = frame.payload_words[off[bi] : off[bi + 1]]
             pred = int(frame.blocks.predictor[bi])
             table = (
                 frame.tables[int(frame.blocks.table_idx[bi])] if pred == LPC else None
             )
-            parts.append(
-                scalar_decode_block(
-                    words,
-                    int(frame.blocks.n[bi]),
-                    pred,
-                    int(frame.blocks.k[bi]),
-                    frame.blocks.history[bi],
-                    table,
-                    frame.block_len,
+            n_bi = int(frame.blocks.n[bi])
+            if int(coders[bi]) == CODER_VERTICAL:
+                z = vertical_decode_block(words, n_bi, frame.block_len)
+                parts.append(
+                    reconstruct(unzigzag(z), frame.blocks.history[bi], pred, table)
                 )
-            )
+            else:
+                parts.append(
+                    scalar_decode_block(
+                        words,
+                        n_bi,
+                        pred,
+                        int(frame.blocks.k[bi]),
+                        frame.blocks.history[bi],
+                        table,
+                        frame.block_len,
+                    )
+                )
         out.append(
             np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
         )

@@ -1,0 +1,124 @@
+"""Host-side ragged layout transforms for the VERTICAL coder.
+
+The device works on fixed-shape per-sub regions (kernels/vertical_xla.py);
+the on-disk format stores only each sub-block's live words (FORMAT §2.2).
+These vectorized numpy transforms convert between the two:
+
+  compact_vertical: device payload rows -> canonical disk words
+  stage_vertical:   canonical disk words -> device payload rows
+
+All index math is bulk numpy (no per-sample Python loops): the mapping from a
+sub-local disk word to its padded-region position is a 3-way piecewise affine
+function of (b, n_exc), evaluated over flat arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from dctpu.constants import sub_caps, subs_per_block, sync_words
+from dctpu.kernels.vertical_xla import (
+    PLANE_REGION,
+    POS_REGION,
+    REGION_WORDS,
+)
+
+
+def _parse_sync_rows(sync_rows: np.ndarray, subs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[B, SW] u32 -> (b [B, S], n_exc [B, S])."""
+    u16 = np.ascontiguousarray(sync_rows, dtype="<u4").view("<u2").reshape(
+        sync_rows.shape[0], -1
+    )[:, :subs]
+    entries = u16.astype(np.int64)
+    return (entries & 0x3F).astype(np.int64), (entries >> 6).astype(np.int64)
+
+
+def _layout(b: np.ndarray, n_exc: np.ndarray, block_len: int):
+    """Per-sub word counts + flat piecewise mapping arrays."""
+    B, S = b.shape
+    pw = np.array([(c + 31) // 32 for c in sub_caps(block_len)], dtype=np.int64)
+    plane_w = pw[None, :] * b
+    pos_w = (n_exc + 3) // 4
+    wc_sub = plane_w + pos_w + n_exc  # [B, S]
+
+    flat_counts = wc_sub.reshape(-1)
+    T = int(flat_counts.sum())
+    seg_off = np.zeros(flat_counts.size + 1, dtype=np.int64)
+    np.cumsum(flat_counts, out=seg_off[1:])
+    seg_id = np.repeat(np.arange(flat_counts.size, dtype=np.int64), flat_counts)
+    w_local = np.arange(T, dtype=np.int64) - seg_off[seg_id]
+    bi, si = seg_id // S, seg_id % S
+
+    pbf = plane_w[bi, si]
+    poswf = pos_w[bi, si]
+    pwf = pw[si]
+    in_planes = w_local < pbf
+    in_pos = ~in_planes & (w_local < pbf + poswf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(pwf > 0, w_local // np.maximum(pwf, 1), 0)
+        wr = w_local - p * pwf
+    region_idx = np.where(
+        in_planes,
+        4 * p + wr,
+        np.where(
+            in_pos,
+            PLANE_REGION + (w_local - pbf),
+            PLANE_REGION + POS_REGION + (w_local - pbf - poswf),
+        ),
+    )
+    return wc_sub, seg_off, bi, si, region_idx
+
+
+def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Device payload rows [B, W] -> (disk words, per-block word counts)."""
+    B = payload.shape[0]
+    S = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    b, n_exc = _parse_sync_rows(payload[:, :SW], S)
+    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, block_len)
+
+    wc_block = SW + wc_sub.sum(axis=1)  # [B]
+    block_off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(wc_block, out=block_off[1:])
+    out = np.zeros(int(block_off[-1]), dtype=np.uint32)
+
+    # sync words
+    sync_dst = block_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
+    out[sync_dst.reshape(-1)] = payload[:, :SW].reshape(-1)
+
+    # sub words: destination = block start + SW + position among block's sub words
+    block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
+    within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
+    dst = block_off[bi] + SW + within_block
+    src = payload[bi, SW + si * REGION_WORDS + region_idx]
+    out[dst] = src
+    return out, wc_block
+
+
+def stage_vertical(
+    disk_words: np.ndarray,
+    word_off: np.ndarray,  # [B+1] per-block disk word offsets
+    block_len: int,
+) -> np.ndarray:
+    """Canonical disk words -> device payload rows [B, SW + S*REGION_WORDS]."""
+    B = word_off.size - 1
+    S = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    W = SW + S * REGION_WORDS
+    out = np.zeros((B, W), dtype=np.uint32)
+    if B == 0:
+        return out
+
+    sync_src = word_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
+    out[:, :SW] = disk_words[sync_src]
+
+    b, n_exc = _parse_sync_rows(out[:, :SW], S)
+    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, block_len)
+
+    block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
+    within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
+    src = disk_words[word_off[bi] + SW + within_block]
+    out[bi, SW + si * REGION_WORDS + region_idx] = src
+    return out

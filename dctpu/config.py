@@ -54,6 +54,9 @@ class CodecConfig:
     predictors: Tuple[int, ...] = (DELTA, DOUBLE_DELTA, LPC)
     lpc_tables: Tuple[LpcTable, ...] = DEFAULT_LPC_TABLES
     k_max: int = K_MAX
+    # "rice" = max ratio (reference-parity pipeline); "vertical" = bit-plane
+    # coder, dense vector ops end to end (docs/FORMAT.md §2.2).
+    coder: str = "rice"
 
     def candidates(self) -> Tuple[Tuple[int, int], ...]:
         """Ordered (predictor, table_idx) candidate list.

@@ -16,6 +16,11 @@ DELTA = 0
 DOUBLE_DELTA = 1
 LPC = 2
 
+# Coder ids (docs/FORMAT.md §2.2)
+CODER_RICE = 0
+CODER_VERTICAL = 1
+EXC_CAP = 16  # normative max exceptions per sub-block (FORMAT §2.2)
+
 HISTORY_LEN = 4        # history samples carried per block header
 LPC_SHIFT = 16         # Q16 fixed-point coefficient shift
 LPC_MAX_ORDER = 4
@@ -34,6 +39,14 @@ def subs_per_block(block_len: int) -> int:
 def sync_words(block_len: int) -> int:
     """u32 words occupied by the sync table at the start of each payload."""
     return (subs_per_block(block_len) + 1) // 2
+
+
+def sub_caps(block_len: int):
+    """Sample count per sub-block index (last sub may be short)."""
+    subs = subs_per_block(block_len)
+    return [
+        min(SUB_BLOCK, block_len - s * SUB_BLOCK) for s in range(subs)
+    ]
 
 # Struct sizes (bytes)
 FILE_HEADER_BYTES = 64

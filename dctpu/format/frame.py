@@ -49,7 +49,8 @@ BLOCK_HEADER_DTYPE = np.dtype(
         ("n", "<u2"),
         ("bit_len", "<u4"),
         ("table_idx", "u1"),
-        ("reserved", "u1", (3,)),
+        ("coder", "u1"),
+        ("reserved", "u1", (2,)),
         ("history", "<i4", (4,)),
         ("reserved2", "<u4"),
     ]
@@ -86,6 +87,12 @@ class BlockHeaders:
     bit_len: np.ndarray    # u32 [B]
     table_idx: np.ndarray  # u8  [B]
     history: np.ndarray    # i32 [B, 4]
+    coder: np.ndarray | None = None  # u8 [B]; None -> all RICE
+
+    def coder_arr(self) -> np.ndarray:
+        if self.coder is None:
+            return np.zeros(self.num_blocks, dtype=np.uint8)
+        return self.coder
 
     @property
     def num_blocks(self) -> int:
@@ -142,6 +149,7 @@ def write_frame(frame: Frame) -> bytes:
     btab["n"] = frame.blocks.n
     btab["bit_len"] = frame.blocks.bit_len
     btab["table_idx"] = frame.blocks.table_idx
+    btab["coder"] = frame.blocks.coder_arr()
     btab["history"] = frame.blocks.history
 
     tparts = [_TABLE_HEADER.pack(len(frame.tables), 0)]
@@ -237,6 +245,7 @@ def read_frame(data: bytes, verify_crc: bool = True) -> Frame:
         bit_len=btab["bit_len"].copy(),
         table_idx=btab["table_idx"].copy(),
         history=btab["history"].copy(),
+        coder=btab["coder"].copy(),
     )
 
     tables = []

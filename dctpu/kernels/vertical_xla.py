@@ -1,0 +1,238 @@
+"""VERTICAL coder kernels (docs/FORMAT.md §2.2): dense vector ops end to end.
+
+The TPU-throughput coder. Unlike Rice pack/unpack — whose per-sample variable
+bit offsets force scatters/gathers that XLA lowers to ~10ns/element loops on
+TPU (measured, SURVEY round 1) — every step here is a fixed-shape elementwise
+op, reduction, or static-strided reshape:
+
+  encode: width sweep (33 masked reductions) -> 32 bit-plane transposes
+          (shift+sum over static lanes) -> EXC_CAP=16 dense rank-match passes
+          for exception extraction. No scatter.
+  decode: 32 plane accumulations + 16 one-hot exception patches. No gather.
+
+Device payload region layout (uniform [B, W] interface with the Rice packer):
+  [sync_words | per-sub regions of REGION_WORDS each]
+  region: 128 plane words (p-major, 4 words per plane) | 4 position words |
+          16 exception value words.
+The host (dctpu.codec.api) compacts regions to the canonical on-disk layout
+(only the first PW*b plane words, ceil(n_exc/4) position words, n_exc values)
+and stages them back for decode — ragged work stays on the host, the device
+sees only fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dctpu.constants import (
+    EXC_CAP,
+    SUB_BLOCK,
+    sub_caps,
+    subs_per_block,
+    sync_words,
+)
+
+PLANE_REGION = 4 * 32          # 32 planes x 4 words
+POS_REGION = EXC_CAP // 4      # 4 words of packed u8 positions
+VAL_REGION = EXC_CAP           # 16 exception value words
+REGION_WORDS = PLANE_REGION + POS_REGION + VAL_REGION  # 148
+
+
+def padded_words_vertical(block_len: int) -> int:
+    return sync_words(block_len) + subs_per_block(block_len) * REGION_WORDS
+
+
+def _sub_shape(z: jnp.ndarray, n: jnp.ndarray, block_len: int):
+    """[B, L] -> z_sub [B, S, 128] (zero past n), valid [B, S, 128]."""
+    B, L = z.shape
+    subs = subs_per_block(block_len)
+    pad = subs * SUB_BLOCK - L
+    idx = jnp.arange(L, dtype=jnp.int32)
+    valid = idx[None, :] < n[:, None]
+    z = jnp.where(valid, z, jnp.uint32(0))
+    if pad:
+        z = jnp.pad(z, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    return (
+        z.reshape(B, subs, SUB_BLOCK),
+        valid.reshape(B, subs, SUB_BLOCK),
+    )
+
+
+def _plane_word_counts(block_len: int) -> jnp.ndarray:
+    """Static per-sub-index plane word counts PW_s, shape [SUBS]."""
+    return jnp.array([(c + 31) // 32 for c in sub_caps(block_len)], jnp.int32)
+
+
+def vertical_total_words(
+    z: jnp.ndarray, valid: jnp.ndarray, block_len: int
+) -> jnp.ndarray:
+    """Exact per-block coded word count for candidate selection.
+
+    z: [..., B, L] u32, valid: [..., B, L] bool -> [..., B] i32.
+    Mirrors the width rule (n_exc <= EXC_CAP, argmin words, tie smallest b).
+    """
+    subs = subs_per_block(block_len)
+    L = z.shape[-1]
+    pad = subs * SUB_BLOCK - L
+    valid = jnp.broadcast_to(valid, z.shape)
+    zm = jnp.where(valid, z, jnp.uint32(0))
+    vm = valid
+    if pad:
+        widths = [(0, 0)] * (z.ndim - 1) + [(0, pad)]
+        zm = jnp.pad(zm, widths)
+        vm = jnp.pad(vm, widths)
+    zs = zm.reshape(z.shape[:-1] + (subs, SUB_BLOCK))
+    vs = vm.reshape(z.shape[:-1] + (subs, SUB_BLOCK))
+    bitlen = (32 - jax.lax.clz(zs.astype(jnp.int32)).astype(jnp.int32)) * (zs != 0)
+    pw = _plane_word_counts(block_len)
+    pw = pw.reshape((1,) * (z.ndim - 1) + (subs,))
+    best_words = pw * 32
+    best_b = jnp.full(best_words.shape, 32, jnp.int32)
+    for b in range(33):
+        n_exc = jnp.sum((bitlen > b) & vs, axis=-1).astype(jnp.int32)
+        words = pw * b + (n_exc + 3) // 4 + n_exc
+        legal = n_exc <= EXC_CAP
+        better = legal & (
+            (words < best_words) | ((words == best_words) & (b < best_b))
+        )
+        best_b = jnp.where(better, b, best_b)
+        best_words = jnp.where(better, words, best_words)
+    return jnp.sum(best_words, axis=-1)
+
+
+def encode_vertical(
+    z: jnp.ndarray,  # [B, L] u32 zigzag values
+    n: jnp.ndarray,  # [B] i32
+    block_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (payload [B, W] u32, bit_len [B] i32). Dense ops only."""
+    B, L = z.shape
+    subs = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
+    pw = _plane_word_counts(block_len)[None, :]  # [1, S]
+
+    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
+    # bitlength of each z (0 for z == 0); n_exc(b) = count(bitlen > b)
+    bitlen = (32 - jax.lax.clz(zs.astype(jnp.int32)).astype(jnp.int32)) * (
+        zs != 0
+    )
+    best_b = jnp.full((B, subs), 32, jnp.int32)
+    best_words = pw * 32
+    best_exc = jnp.zeros((B, subs), jnp.int32)
+    for b in range(33):
+        n_exc = jnp.sum((bitlen > b) & valid, axis=2).astype(jnp.int32)
+        words = pw * b + (n_exc + 3) // 4 + n_exc
+        legal = n_exc <= EXC_CAP
+        better = legal & (
+            (words < best_words) | ((words == best_words) & (b < best_b))
+        )
+        best_b = jnp.where(better, b, best_b)
+        best_words = jnp.where(better, words, best_words)
+        best_exc = jnp.where(better, n_exc, best_exc)
+
+    bit_len = 32 * jnp.sum(best_words, axis=1)
+
+    # ---- bit planes: static transpose, all 32 planes ----
+    zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
+    lane = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+    planes = []
+    for p in range(32):
+        bits = (zg >> jnp.uint32(p)) & jnp.uint32(1)
+        planes.append(jnp.sum(bits << lane, axis=3, dtype=jnp.uint32))  # [B,S,4]
+    plane_words = jnp.stack(planes, axis=2)  # [B, S, 32, 4] p-major
+    plane_region = plane_words.reshape(B, subs, PLANE_REGION)
+
+    # ---- exceptions: rank-match extraction, EXC_CAP dense passes ----
+    is_exc = (bitlen > best_b[:, :, None]) & valid  # [B, S, 128]
+    rank = jnp.cumsum(is_exc.astype(jnp.int32), axis=2) - 1
+    idx = jnp.arange(SUB_BLOCK, dtype=jnp.int32)[None, None, :]
+    bb = best_b[:, :, None].astype(jnp.uint32)
+    high = jnp.where(bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31)))
+    pos_list, val_list = [], []
+    for j in range(EXC_CAP):
+        m = is_exc & (rank == j)
+        pos_list.append(jnp.sum(jnp.where(m, idx, 0), axis=2).astype(jnp.uint32))
+        val_list.append(jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
+    pos = jnp.stack(pos_list, axis=2)  # [B, S, 16] u32 (u8 values)
+    vals = jnp.stack(val_list, axis=2)  # [B, S, 16]
+
+    # zero out entries past n_exc, pack positions 4-per-word
+    jj = jnp.arange(EXC_CAP, dtype=jnp.int32)[None, None, :]
+    live = jj < best_exc[:, :, None]
+    pos = jnp.where(live, pos, jnp.uint32(0))
+    vals = jnp.where(live, vals, jnp.uint32(0))
+    pos4 = pos.reshape(B, subs, POS_REGION, 4)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :]
+    pos_words = jnp.sum(pos4 << shifts, axis=3, dtype=jnp.uint32)  # [B, S, 4]
+
+    # ---- sync table + uniform payload region ----
+    entry = (best_b | (best_exc << 6)).astype(jnp.uint32)  # [B, S] u16 values
+    if subs % 2:
+        entry = jnp.pad(entry, ((0, 0), (0, 1)))
+    ep = entry.reshape(B, -1, 2)
+    sync = ep[:, :, 0] | (ep[:, :, 1] << jnp.uint32(16))  # [B, SW]
+
+    region = jnp.concatenate([plane_region, pos_words, vals], axis=2)
+    payload = jnp.concatenate(
+        [sync, region.reshape(B, subs * REGION_WORDS)], axis=1
+    )
+    return payload, bit_len.astype(jnp.int32)
+
+
+def decode_vertical(
+    payload: jnp.ndarray,  # [B, SW + SUBS*REGION_WORDS] staged regions
+    n: jnp.ndarray,        # [B] i32
+    block_len: int,
+) -> jnp.ndarray:
+    """Returns z [B, L] u32 (zeros past n). Dense ops only."""
+    B = payload.shape[0]
+    subs = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    L = block_len
+
+    sync = payload[:, :SW]
+    lo = (sync & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (sync >> jnp.uint32(16)).astype(jnp.int32)
+    entries = jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :subs]
+    b = (entries & 0x3F).astype(jnp.uint32)       # [B, S]
+    n_exc = entries >> 6                          # [B, S]
+
+    region = payload[:, SW:].reshape(B, subs, REGION_WORDS)
+    plane_words = region[:, :, :PLANE_REGION].reshape(B, subs, 32, 4)
+    pos_words = region[:, :, PLANE_REGION : PLANE_REGION + POS_REGION]
+    vals = region[:, :, PLANE_REGION + POS_REGION :]
+
+    # planes -> z (planes >= b are zero-staged, so no masking needed)
+    lane = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+    z = jnp.zeros((B, subs, 4, 32), dtype=jnp.uint32)
+    for p in range(32):
+        bits = (plane_words[:, :, p, :, None] >> lane) & jnp.uint32(1)
+        z = z | (bits << jnp.uint32(p))
+    z = z.reshape(B, subs, SUB_BLOCK)
+
+    # exception patch: one-hot over sample index, EXC_CAP dense passes
+    idx = jnp.arange(SUB_BLOCK, dtype=jnp.uint32)[None, None, :]
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :]
+    pos = ((pos_words[:, :, :, None] >> shifts) & jnp.uint32(0xFF)).reshape(
+        B, subs, EXC_CAP
+    )
+    bb = b[:, :, None]
+    jj = jnp.arange(EXC_CAP, dtype=jnp.int32)[None, None, :]
+    live = jj < n_exc[:, :, None]
+    for j in range(EXC_CAP):
+        onehot = (idx == pos[:, :, j : j + 1]) & live[:, :, j : j + 1]
+        patch = jnp.where(
+            bb >= 32,
+            jnp.uint32(0),
+            vals[:, :, j : j + 1] << jnp.minimum(bb, jnp.uint32(31)),
+        )
+        z = z | jnp.where(onehot, patch, jnp.uint32(0))
+
+    z = z.reshape(B, subs * SUB_BLOCK)[:, :L]
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
+    return jnp.where(valid, z, jnp.uint32(0))

@@ -11,6 +11,7 @@
 //   dcomp_oracle decode in.dcf out.dcr
 //   dcomp_oracle verify in.dcr          (in-memory round trip + stats)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -33,6 +34,7 @@ static constexpr int LPC_SHIFT = 16;
 static constexpr uint16_t DCF_VERSION = 1;
 
 enum Predictor : uint8_t { DELTA = 0, DOUBLE_DELTA = 1, LPC = 2 };
+enum Coder : uint8_t { CODER_RICE = 0, CODER_VERTICAL = 1 };
 
 struct LpcTable {
   uint8_t order;
@@ -234,7 +236,7 @@ static void reconstruct(const int32_t* r, int n, const int32_t* h, Predictor pre
 // ----------------------------------------------------------------- block encode
 
 struct BlockMeta {
-  uint8_t predictor, k, table_idx;
+  uint8_t predictor, k, table_idx, coder;
   uint16_t n;
   uint32_t bit_len;
   int32_t history[HISTORY_LEN];
@@ -244,7 +246,115 @@ struct EncodeConfig {
   uint32_t block_len = 4096;
   bool use_dd = true;
   bool use_lpc = true;
+  Coder coder = CODER_RICE;
 };
+
+// --------------------------------------------------- vertical coder (FORMAT §2.2)
+
+static inline uint32_t sub_cap(uint32_t L, uint32_t s) {
+  uint32_t start = s * SUB_BLOCK;
+  return start < L ? std::min(SUB_BLOCK, L - start) : 0;
+}
+
+// Exact (b*, words); ties -> smallest b.
+static constexpr uint32_t EXC_CAP = 16;  // normative (FORMAT §2.2)
+
+static void vertical_choose_b(const uint32_t* z, int count, uint32_t cap,
+                              uint32_t* best_b, uint32_t* best_words) {
+  uint32_t pw = (cap + 31) / 32;
+  *best_b = 32;
+  *best_words = pw * 32;
+  for (uint32_t b = 0; b <= 32; b++) {
+    uint32_t n_exc = 0;
+    if (b < 32)
+      for (int i = 0; i < count; i++) n_exc += (z[i] >> b) != 0;
+    if (n_exc > EXC_CAP) continue;
+    uint32_t words = pw * b + (n_exc + 3) / 4 + n_exc;
+    if (words < *best_words || (words == *best_words && b < *best_b)) {
+      *best_words = words;
+      *best_b = b;
+    }
+  }
+}
+
+static uint32_t vertical_block_cost(const uint32_t* z, int n, uint32_t L) {
+  uint32_t total = 0;
+  for (uint32_t s = 0; s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
+    uint32_t cap = sub_cap(L, s);
+    int count = std::min<int>(cap, n - s * SUB_BLOCK);
+    uint32_t b, w;
+    vertical_choose_b(z + s * SUB_BLOCK, count, cap, &b, &w);
+    total += w;
+  }
+  return total;
+}
+
+static void vertical_emit_block(const uint32_t* z, int n, uint32_t L,
+                                std::vector<uint32_t>& out, uint32_t* bit_len) {
+  uint32_t subs = subs_per_block(L);
+  std::vector<uint16_t> sync(2 * sync_word_count(L), 0);
+  std::vector<uint32_t> body;
+  for (uint32_t s = 0; s < subs && s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
+    uint32_t cap = sub_cap(L, s);
+    int count = std::min<int>(cap, n - s * SUB_BLOCK);
+    const uint32_t* zz = z + s * SUB_BLOCK;
+    uint32_t b, w_unused;
+    vertical_choose_b(zz, count, cap, &b, &w_unused);
+    uint32_t pw = (cap + 31) / 32;
+    for (uint32_t p = 0; p < b; p++)
+      for (uint32_t w = 0; w < pw; w++) {
+        uint32_t word = 0;
+        for (int i = 32 * w; i < std::min<int>(32 * (w + 1), count); i++)
+          word |= ((zz[i] >> p) & 1u) << (i - 32 * w);
+        body.push_back(word);
+      }
+    std::vector<uint8_t> pos;
+    if (b < 32)
+      for (int i = 0; i < count; i++)
+        if (zz[i] >> b) pos.push_back(static_cast<uint8_t>(i));
+    uint32_t n_exc = pos.size();
+    sync[s] = static_cast<uint16_t>(b | (n_exc << 6));
+    for (uint32_t w = 0; w < (n_exc + 3) / 4; w++) {
+      uint32_t word = 0;
+      for (uint32_t j = 4 * w; j < std::min(4 * w + 4, n_exc); j++)
+        word |= static_cast<uint32_t>(pos[j]) << (8 * (j - 4 * w));
+      body.push_back(word);
+    }
+    for (uint8_t pi : pos) body.push_back(zz[pi] >> b);
+  }
+  const uint32_t* sp = reinterpret_cast<const uint32_t*>(sync.data());
+  out.insert(out.end(), sp, sp + sync.size() / 2);
+  out.insert(out.end(), body.begin(), body.end());
+  *bit_len = 32 * static_cast<uint32_t>(body.size());
+}
+
+static void vertical_decode_block_words(const uint32_t* words, int n, uint32_t L,
+                                        uint32_t* z_out) {
+  uint32_t sw = sync_word_count(L);
+  const uint16_t* sync = reinterpret_cast<const uint16_t*>(words);
+  const uint32_t* body = words + sw;
+  uint32_t off = 0;
+  for (uint32_t s = 0; s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
+    uint32_t cap = sub_cap(L, s);
+    int count = std::min<int>(cap, n - s * SUB_BLOCK);
+    uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+    uint32_t pw = (cap + 31) / 32;
+    uint32_t* zz = z_out + s * SUB_BLOCK;
+    for (int i = 0; i < count; i++) zz[i] = 0;
+    for (uint32_t p = 0; p < b; p++)
+      for (uint32_t w = 0; w < pw; w++) {
+        uint32_t word = body[off + p * pw + w];
+        for (int i = 32 * w; i < std::min<int>(32 * (w + 1), count); i++)
+          zz[i] |= ((word >> (i - 32 * w)) & 1u) << p;
+      }
+    uint32_t base = off + b * pw, pos_words = (n_exc + 3) / 4;
+    for (uint32_t j = 0; j < n_exc; j++) {
+      uint32_t pos = (body[base + j / 4] >> (8 * (j % 4))) & 0xFF;
+      zz[pos] |= body[base + pos_words + j] << b;
+    }
+    off += b * pw + pos_words + n_exc;
+  }
+}
 
 // Exact k selection (FORMAT.md §4): argmin over k in [0, K_MAX], ties -> smallest.
 static void choose_k(const uint32_t* z, int n, int* best_k, uint64_t* best_bits) {
@@ -275,6 +385,15 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
     const LpcTable* table = c.p == LPC ? &kDefaultTables[c.ti] : nullptr;
     residuals(x, n, h, c.p, table, r.data());
     for (int t = 0; t < n; t++) z[t] = zigzag(r[t]);
+    if (cfg.coder == CODER_VERTICAL) {
+      uint64_t cost = vertical_block_cost(z.data(), n, cfg.block_len);
+      if (cost < best_bits) {
+        best_bits = cost; best_pred = c.p;
+        best_ti = c.p == LPC ? c.ti : 0;
+        best_z = z;
+      }
+      continue;
+    }
     int k; uint64_t bits;
     choose_k(z.data(), n, &k, &bits);
     if (bits < best_bits) {
@@ -282,6 +401,20 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
       best_ti = c.p == LPC ? c.ti : 0;
       best_z = z;
     }
+  }
+
+  if (cfg.coder == CODER_VERTICAL) {
+    // Pad candidate z to block_len-extent access (vertical indexes by sub).
+    uint32_t bl;
+    vertical_emit_block(best_z.data(), n, cfg.block_len, bw.words, &bl);
+    meta->predictor = static_cast<uint8_t>(best_pred);
+    meta->k = 0;
+    meta->table_idx = static_cast<uint8_t>(best_ti);
+    meta->coder = CODER_VERTICAL;
+    meta->n = static_cast<uint16_t>(n);
+    meta->bit_len = bl;
+    memcpy(meta->history, h, sizeof(meta->history));
+    return;
   }
 
   // Sync table: per-sub-block code bit lengths (u16 pairs packed into u32).
@@ -300,6 +433,7 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
   meta->predictor = static_cast<uint8_t>(best_pred);
   meta->k = static_cast<uint8_t>(best_k);
   meta->table_idx = static_cast<uint8_t>(best_ti);
+  meta->coder = CODER_RICE;
   meta->n = static_cast<uint16_t>(n);
   meta->bit_len = static_cast<uint32_t>(best_bits);  // bitstream bits only
   memcpy(meta->history, h, sizeof(meta->history));
@@ -325,7 +459,7 @@ struct BlockHeaderRec {
   uint8_t predictor, k;
   uint16_t n;
   uint32_t bit_len;
-  uint8_t table_idx, reserved[3];
+  uint8_t table_idx, coder, reserved[2];
   int32_t history[4];
   uint32_t reserved2;
 };
@@ -436,6 +570,7 @@ static std::vector<uint8_t> encode_corpus(const Corpus& corpus, const EncodeConf
       BlockHeaderRec rec{};
       rec.predictor = meta.predictor; rec.k = meta.k; rec.n = meta.n;
       rec.bit_len = meta.bit_len; rec.table_idx = meta.table_idx;
+      rec.coder = meta.coder;
       memcpy(rec.history, meta.history, sizeof(rec.history));
       btab.push_back(rec);
     }
@@ -527,12 +662,19 @@ static Corpus decode_frame(const std::vector<uint8_t>& buf) {
     uint64_t written = 0;
     for (uint32_t bi = d.first_block; bi < d.first_block + d.num_blocks; bi++) {
       const BlockHeaderRec& bh = btab[bi];
-      // Skip the sync table; scalar decode reads the bitstream sequentially.
-      BitReader br{payload + word_off[bi] + sw,
-                   static_cast<size_t>(word_off[bi + 1] - word_off[bi] - sw)};
       (void)pay_words;
       std::vector<int32_t> r(bh.n);
-      for (int t = 0; t < bh.n; t++) r[t] = unzigzag(rice_read(br, bh.k));
+      if (bh.coder == CODER_VERTICAL) {
+        std::vector<uint32_t> zbuf(((bh.n + SUB_BLOCK - 1) / SUB_BLOCK) * SUB_BLOCK, 0);
+        vertical_decode_block_words(payload + word_off[bi], bh.n, hdr.block_len,
+                                    zbuf.data());
+        for (int t = 0; t < bh.n; t++) r[t] = unzigzag(zbuf[t]);
+      } else {
+        // Skip the sync table; scalar decode reads the bitstream sequentially.
+        BitReader br{payload + word_off[bi] + sw,
+                     static_cast<size_t>(word_off[bi + 1] - word_off[bi] - sw)};
+        for (int t = 0; t < bh.n; t++) r[t] = unzigzag(rice_read(br, bh.k));
+      }
       const LpcTable* table =
           bh.predictor == LPC ? &tables[bh.table_idx] : nullptr;
       reconstruct(r.data(), bh.n, bh.history, static_cast<Predictor>(bh.predictor),
@@ -561,6 +703,10 @@ int main(int argc, char** argv) {
     std::string a = argv[i];
     if (a == "--block-len" && i + 1 < argc) cfg.block_len = atoi(argv[++i]);
     else if (a == "--no-lpc") cfg.use_lpc = false;
+    else if (a == "--coder" && i + 1 < argc) {
+      std::string c = argv[++i];
+      cfg.coder = (c == "vertical") ? CODER_VERTICAL : CODER_RICE;
+    }
     else if (a == "--no-dd") cfg.use_dd = false;
     else pos.push_back(a);
   }

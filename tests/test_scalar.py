@@ -95,7 +95,7 @@ def test_block_roundtrip(rng):
     for case in stream_cases(rng):
         x = case[: cfg.block_len]
         h = np.zeros(4, dtype=np.int32)
-        pred, k, ti, bl, words = scalar.scalar_encode_block(x, h, cfg)
+        pred, k, ti, _coder, bl, words = scalar.scalar_encode_block(x, h, cfg)
         table = cfg.lpc_tables[ti] if pred == LPC else None
         got = scalar.scalar_decode_block(words, x.size, pred, k, h, table, cfg.block_len)
         assert np.array_equal(got, x)

@@ -1,13 +1,13 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: device encode throughput, GB/s per chip (the BASELINE.json metric is
-"encode/decode GB/s per chip"). vs_baseline compares against the per-chip
-share of the driver target (>= 10 GB/s aggregate on a v5p-16 = 8 chips ->
-1.25 GB/s per chip). Detail lines (decode GB/s, ratio, host-pipeline numbers)
-go to stderr.
+Headline: device encode throughput with the VERTICAL coder, GB/s per chip
+(BASELINE.json metric: "encode/decode GB/s per chip"). vs_baseline compares
+against the per-chip share of the driver target (>= 10 GB/s aggregate on a
+v5p-16 = 8 chips -> 1.25 GB/s per chip). Detail lines (Rice mode, decode,
+ratios, host pipeline) go to stderr.
 
-Runs on whatever backend is ambient (the real TPU under the driver; CPU if
-JAX_PLATFORMS=cpu).
+NOTE (axon platform): jax.block_until_ready does NOT block — every timed
+iteration forces a small device->host fetch instead (dctpu.utils.timing).
 """
 
 import json
@@ -23,89 +23,119 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
+def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, reps=3):
     import jax.numpy as jnp
 
     from dctpu.codec import api as capi
     from dctpu.codec.decode import decode_blocks
     from dctpu.codec.encode import encode_blocks
     from dctpu.config import CodecConfig
+
+    cfg = CodecConfig(coder=coder)
+    B = xd.shape[0]
+
+    t0 = time.time()
+    enc = encode_blocks(xd, nd, hd, cfg, "xla")
+    bl = np.asarray(enc.bit_len)
+    log(f"[{coder}] encode compile+first: {time.time()-t0:.1f}s")
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        enc = encode_blocks(xd, nd, hd, cfg, "xla")
+        bl = np.asarray(enc.bit_len)
+        ts.append(time.time() - t0)
+    enc_t = sorted(ts)[len(ts) // 2]
+    enc_gbps = raw_bytes / enc_t / 1e9
+    log(f"[{coder}] device encode: {enc_gbps:.4f} GB/s/chip ({enc_t*1e3:.0f} ms)")
+
+    # ---- stage for decode ----
+    if coder == "vertical":
+        from dctpu.codec.vertical_host import compact_vertical, stage_vertical
+
+        t0 = time.time()
+        words, wc_block = compact_vertical(np.asarray(enc.payload), L)
+        log(f"[{coder}] host compact: {(time.time()-t0)*1e3:.0f} ms")
+        off = np.zeros(B + 1, np.int64)
+        np.cumsum(wc_block, out=off[1:])
+        padded = stage_vertical(words, off, L)
+        comp_bytes = words.nbytes
+    else:
+        from dctpu.format.frame import payload_word_counts
+        from dctpu.kernels.pack_xla import padded_words
+
+        t0 = time.time()
+        words = capi.compact_payload(np.asarray(enc.payload), bl, L)
+        log(f"[{coder}] host compact: {(time.time()-t0)*1e3:.0f} ms")
+        wc = payload_word_counts(bl, L)
+        off = np.zeros(wc.size + 1, np.int64)
+        np.cumsum(wc, out=off[1:])
+        padded = capi.pad_payload(words, off, B, padded_words(L) + 2)
+        comp_bytes = words.nbytes
+
+    coeffs = jnp.asarray(
+        np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64)
+    )
+    pd = jnp.asarray(padded)
+    args = (pd, enc.k, nd, enc.predictor, enc.table_idx, hd, coeffs)
+    t0 = time.time()
+    out = decode_blocks(*args, L, True, "xla", coder)
+    _ = np.asarray(out[:, :1])
+    log(f"[{coder}] decode compile+first: {time.time()-t0:.1f}s")
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = decode_blocks(*args, L, True, "xla", coder)
+        _ = np.asarray(out[:, :1])
+        ts.append(time.time() - t0)
+    dec_t = sorted(ts)[len(ts) // 2]
+    dec_gbps = raw_bytes / dec_t / 1e9
+    log(f"[{coder}] device decode: {dec_gbps:.4f} GB/s/chip ({dec_t*1e3:.0f} ms)")
+
+    ok = np.array_equal(
+        np.asarray(out), x * (np.arange(L)[None, :] < n[:, None])
+    )
+    ratio = raw_bytes / comp_bytes
+    log(f"[{coder}] bit-exact: {ok}  payload ratio: {ratio:.3f}x")
+    return enc_gbps, dec_gbps, ratio, ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dctpu.codec import api as capi
     from dctpu.corpus import synth_corpus
-    from dctpu.format import write_frame
-    from dctpu.kernels.pack_xla import padded_words
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    cfg = CodecConfig()
-    L = cfg.block_len
-
-    # Exactly one chunk geometry: 2048 blocks x 4096 samples = 32 MiB input.
-    B = 2048
+    L = 4096
+    B = 2048  # 32 MiB input, single chunk geometry
     n_streams = 16
-    per_stream = B * L // n_streams
-    streams, ids, cads = synth_corpus(n_streams, per_stream, seed=123,
-                                      mixed_cadence=True, cumulative_frac=0.25)
+    streams, _, _ = synth_corpus(n_streams, B * L // n_streams, seed=123,
+                                 mixed_cadence=True, cumulative_frac=0.25)
     raw_bytes = sum(s.nbytes for s in streams)
-
     x, n, hist, _, _ = capi.build_blocks(streams, L)
     xd = jax.device_put(jnp.asarray(x))
     nd = jax.device_put(jnp.asarray(n))
     hd = jax.device_put(jnp.asarray(hist))
 
-    # ---- encode: compile + steady-state device step ----
-    t0 = time.time()
-    enc = jax.block_until_ready(encode_blocks(xd, nd, hd, cfg, "xla"))
-    log(f"encode compile+first: {time.time()-t0:.1f}s")
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        enc = jax.block_until_ready(encode_blocks(xd, nd, hd, cfg, "xla"))
-    enc_gbps = raw_bytes * reps / (time.time() - t0) / 1e9
-    log(f"device encode: {enc_gbps:.4f} GB/s/chip")
-
-    # ---- decode ----
-    bit_len = np.asarray(enc.bit_len)
-    from dctpu.format.frame import payload_word_counts
-    compact = capi.compact_payload(np.asarray(enc.payload), bit_len, L)
-    wc = payload_word_counts(bit_len, L)
-    word_off = np.zeros(wc.size + 1, dtype=np.int64)
-    np.cumsum(wc, out=word_off[1:])
-    padded = capi.pad_payload(compact, word_off, B, padded_words(L) + 2)
-    coeffs = np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64)
-    pd = jax.device_put(jnp.asarray(padded))
-    args = (
-        pd, enc.k, nd, enc.predictor, enc.table_idx, hd,
-        jax.device_put(jnp.asarray(coeffs)),
+    v_enc, v_dec, v_ratio, v_ok = _bench_coder(
+        "vertical", xd, nd, hd, raw_bytes, x, n, L
     )
-    t0 = time.time()
-    out = jax.block_until_ready(decode_blocks(*args, L, True, "xla"))
-    log(f"decode compile+first: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for _ in range(reps):
-        out = jax.block_until_ready(decode_blocks(*args, L, True, "xla"))
-    dec_gbps = raw_bytes * reps / (time.time() - t0) / 1e9
-    log(f"device decode: {dec_gbps:.4f} GB/s/chip")
+    try:
+        r_enc, r_dec, r_ratio, r_ok = _bench_coder(
+            "rice", xd, nd, hd, raw_bytes, x, n, L
+        )
+    except Exception as e:  # rice detail must not sink the headline
+        log(f"[rice] failed: {e}")
+        r_ok = True
 
-    ok = np.array_equal(
-        np.asarray(out), x * (np.arange(L)[None, :] < n[:, None])
-    )
-    log(f"round-trip bit-exact: {ok}")
-
-    frame = capi.compress(streams, cfg, stream_ids=ids, cadences=cads)
-    comp_bytes = len(write_frame(frame))
-    log(f"compression ratio: {raw_bytes/comp_bytes:.3f}x "
-        f"({raw_bytes} -> {comp_bytes} bytes)")
-
-    if not ok:
-        log("FATAL: round trip failed; reporting 0")
-        enc_gbps = 0.0
-
+    value = v_enc if (v_ok and r_ok) else 0.0
     print(json.dumps({
         "metric": "encode_gbps_per_chip",
-        "value": round(enc_gbps, 4),
+        "value": round(value, 4),
         "unit": "GB/s",
-        "vs_baseline": round(enc_gbps / BASELINE_PER_CHIP_GBPS, 4),
+        "vs_baseline": round(value / BASELINE_PER_CHIP_GBPS, 4),
     }))
 
 

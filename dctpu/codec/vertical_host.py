@@ -92,7 +92,9 @@ def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, n
     block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
     within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
     dst = block_off[bi] + SW + within_block
-    src = payload[bi, SW + si * REGION_WORDS + region_idx]
+    # flat 1-D fancy indexing is ~10x faster than 2-D (row, col) indexing
+    W = payload.shape[1]
+    src = payload.reshape(-1)[bi * W + SW + si * REGION_WORDS + region_idx]
     out[dst] = src
     return out, wc_block
 
@@ -120,5 +122,5 @@ def stage_vertical(
     block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
     within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
     src = disk_words[word_off[bi] + SW + within_block]
-    out[bi, SW + si * REGION_WORDS + region_idx] = src
+    out.reshape(-1)[bi * W + SW + si * REGION_WORDS + region_idx] = src
     return out

@@ -1,0 +1,39 @@
+"""Reliable device timing.
+
+On the experimental axon TPU platform, jax.block_until_ready returns without
+waiting (measured: 0.1 ms for a 300 ms computation). The only reliable fence
+is a device->host transfer, so all timing here forces a small fetch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import numpy as np
+
+
+def fetch_sync(out):
+    """Force completion of `out` by fetching one element of each leaf."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf).ravel()[:1]
+    return out
+
+
+def device_time(f: Callable, reps: int = 3, warmup: int = 1) -> Tuple[float, object]:
+    """Median wall seconds per call of f() with forced completion."""
+    out = None
+    for _ in range(warmup):
+        out = fetch_sync(f())
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fetch_sync(f())
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2], out
+
+
+def trace(path: str):
+    """Context manager: jax.profiler trace into `path` (view in TensorBoard)."""
+    return jax.profiler.trace(path)

@@ -66,9 +66,16 @@ def compact_payload(payload: np.ndarray, bit_len: np.ndarray, block_len: int) ->
     total = int(wc.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint32)
-    block_id = np.repeat(np.arange(payload.shape[0], dtype=np.int64), wc)
     off = np.zeros(wc.size + 1, dtype=np.int64)
     np.cumsum(wc, out=off[1:])
+
+    from dctpu import native
+
+    fast = native.segment_gather(payload, off)
+    if fast is not None:
+        return fast
+
+    block_id = np.repeat(np.arange(payload.shape[0], dtype=np.int64), wc)
     within = np.arange(total, dtype=np.int64) - off[block_id]
     return payload[block_id, within]
 
@@ -77,6 +84,12 @@ def pad_payload(
     compact: np.ndarray, word_off: np.ndarray, num_blocks: int, width: int
 ) -> np.ndarray:
     """Inverse of compact_payload: [total] -> [B, width] rows (zero padded)."""
+    from dctpu import native
+
+    fast = native.segment_scatter(compact, word_off, width)
+    if fast is not None and fast.shape[0] == num_blocks:
+        return fast
+
     out = np.zeros((num_blocks, width), dtype=np.uint32)
     wc = np.diff(word_off)
     total = int(word_off[-1])

@@ -73,6 +73,12 @@ def _layout(b: np.ndarray, n_exc: np.ndarray, block_len: int):
 
 def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """Device payload rows [B, W] -> (disk words, per-block word counts)."""
+    from dctpu import native
+
+    fast = native.vert_compact(payload, block_len)
+    if fast is not None:
+        return fast
+
     B = payload.shape[0]
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
@@ -109,6 +115,13 @@ def stage_vertical(
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
     W = SW + S * REGION_WORDS
+
+    from dctpu import native
+
+    fast = native.vert_stage(disk_words, word_off, block_len, W)
+    if fast is not None:
+        return fast
+
     out = np.zeros((B, W), dtype=np.uint32)
     if B == 0:
         return out

@@ -1,0 +1,145 @@
+// libdctpu_host — native host-side ragged layout transforms.
+//
+// The TPU-native runtime's host half (SURVEY.md §2.1 "C++ host bitstream
+// assembly"): converts between the device's fixed-shape payload regions and
+// the canonical DCF1 disk layout. These are memory-bound gather/scatter loops
+// that numpy fancy indexing runs at ~140 ns/element; here they are simple
+// OpenMP-parallel loops at memcpy-class speed.
+//
+// Exposed via ctypes (dctpu/native.py). Layout contracts mirror
+// docs/FORMAT.md §2.1/§2.2 and dctpu/codec/vertical_host.py exactly.
+//
+// Build: make -C native   (g++ -O3 -fopenmp -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint32_t SUB_BLOCK = 128;
+constexpr uint32_t PLANE_REGION = 128;
+constexpr uint32_t POS_REGION = 4;
+constexpr uint32_t REGION_WORDS = 148;
+
+inline uint32_t subs_per_block(uint32_t L) { return (L + SUB_BLOCK - 1) / SUB_BLOCK; }
+inline uint32_t sync_word_count(uint32_t L) { return (subs_per_block(L) + 1) / 2; }
+inline uint32_t sub_cap(uint32_t L, uint32_t s) {
+  uint32_t start = s * SUB_BLOCK;
+  return start < L ? (L - start < SUB_BLOCK ? L - start : SUB_BLOCK) : 0;
+}
+inline uint32_t plane_words(uint32_t L, uint32_t s) { return (sub_cap(L, s) + 31) / 32; }
+
+// Copy one sub's live words between device region layout and disk layout.
+// dir=0: region -> disk (compact). dir=1: disk -> region (stage).
+inline void sub_copy(uint32_t* disk, uint32_t* region, uint32_t b,
+                     uint32_t n_exc, uint32_t pw, bool to_disk) {
+  uint32_t d = 0;
+  for (uint32_t p = 0; p < b; p++)
+    for (uint32_t w = 0; w < pw; w++, d++) {
+      if (to_disk) disk[d] = region[4 * p + w];
+      else region[4 * p + w] = disk[d];
+    }
+  uint32_t posw = (n_exc + 3) / 4;
+  for (uint32_t w = 0; w < posw; w++, d++) {
+    if (to_disk) disk[d] = region[PLANE_REGION + w];
+    else region[PLANE_REGION + w] = disk[d];
+  }
+  for (uint32_t j = 0; j < n_exc; j++, d++) {
+    if (to_disk) disk[d] = region[PLANE_REGION + POS_REGION + j];
+    else region[PLANE_REGION + POS_REGION + j] = disk[d];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-block disk word counts from device payload sync rows.
+// payload: [B, W] u32 rows (sync at word 0). out_wc: [B] i64.
+void dctpu_vert_block_words(const uint32_t* payload, int64_t B, int64_t W,
+                            uint32_t block_len, int64_t* out_wc) {
+  uint32_t S = subs_per_block(block_len);
+  uint32_t SW = sync_word_count(block_len);
+#pragma omp parallel for schedule(static)
+  for (int64_t bi = 0; bi < B; bi++) {
+    const uint16_t* sync = reinterpret_cast<const uint16_t*>(payload + bi * W);
+    int64_t wc = SW;
+    for (uint32_t s = 0; s < S; s++) {
+      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+      wc += plane_words(block_len, s) * b + (n_exc + 3) / 4 + n_exc;
+    }
+    out_wc[bi] = wc;
+  }
+}
+
+// Device payload rows -> canonical disk words.
+// block_off: [B+1] exclusive word offsets (from dctpu_vert_block_words).
+void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
+                        uint32_t block_len, const int64_t* block_off,
+                        uint32_t* out) {
+  uint32_t S = subs_per_block(block_len);
+  uint32_t SW = sync_word_count(block_len);
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t bi = 0; bi < B; bi++) {
+    const uint32_t* row = payload + bi * W;
+    uint32_t* dst = out + block_off[bi];
+    memcpy(dst, row, SW * 4);
+    const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
+    uint32_t* d = dst + SW;
+    for (uint32_t s = 0; s < S; s++) {
+      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+      uint32_t pw = plane_words(block_len, s);
+      sub_copy(d, const_cast<uint32_t*>(row) + SW + s * REGION_WORDS, b, n_exc,
+               pw, /*to_disk=*/true);
+      d += pw * b + (n_exc + 3) / 4 + n_exc;
+    }
+  }
+}
+
+// Canonical disk words -> device payload rows [B, SW + S*REGION_WORDS] (zeroed).
+void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
+                      uint32_t block_len, uint32_t* out, int64_t W) {
+  uint32_t S = subs_per_block(block_len);
+  uint32_t SW = sync_word_count(block_len);
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t bi = 0; bi < B; bi++) {
+    const uint32_t* src = disk + word_off[bi];
+    uint32_t* row = out + bi * W;
+    memcpy(row, src, SW * 4);
+    const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
+    const uint32_t* d = src + SW;
+    for (uint32_t s = 0; s < S; s++) {
+      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+      uint32_t pw = plane_words(block_len, s);
+      sub_copy(const_cast<uint32_t*>(d), row + SW + s * REGION_WORDS, b, n_exc,
+               pw, /*to_disk=*/false);
+      d += pw * b + (n_exc + 3) / 4 + n_exc;
+    }
+  }
+}
+
+// Rice-mode helpers: segmented copy between compact disk words and padded rows.
+// Equivalent to api.compact_payload / api.pad_payload.
+void dctpu_segment_gather(const uint32_t* rows, int64_t B, int64_t W,
+                          const int64_t* word_off, uint32_t* out) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t bi = 0; bi < B; bi++) {
+    int64_t n = word_off[bi + 1] - word_off[bi];
+    memcpy(out + word_off[bi], rows + bi * W, n * 4);
+  }
+}
+
+void dctpu_segment_scatter(const uint32_t* words, const int64_t* word_off,
+                           int64_t B, uint32_t* rows, int64_t W) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t bi = 0; bi < B; bi++) {
+    int64_t n = word_off[bi + 1] - word_off[bi];
+    memcpy(rows + bi * W, words + word_off[bi], n * 4);
+  }
+}
+
+}  // extern "C"

@@ -38,7 +38,9 @@ def _cfg(args):
 
     names = {"delta": DELTA, "dd": DOUBLE_DELTA, "lpc": LPC}
     preds = tuple(names[p] for p in args.predictors.split(","))
-    return CodecConfig(block_len=args.block_len, predictors=preds)
+    return CodecConfig(
+        block_len=args.block_len, predictors=preds, coder=args.coder
+    )
 
 
 def cmd_encode(args):
@@ -118,6 +120,8 @@ def main(argv=None):
             sp.add_argument("input")
         sp.add_argument("--block-len", type=int, default=4096)
         sp.add_argument("--predictors", default="delta,dd,lpc")
+        sp.add_argument("--coder", default="rice", choices=["rice", "vertical"],
+                        help="rice = max ratio, vertical = max throughput")
         sp.add_argument("--sharded", action="store_true",
                         help="shard over all local devices")
 

@@ -100,6 +100,37 @@ def pad_payload(
     return out
 
 
+def compact_enc_payload(
+    payload: np.ndarray, bit_len: np.ndarray, cfg: CodecConfig
+) -> np.ndarray:
+    """Coder-dispatched payload compaction (device rows -> disk words)."""
+    if cfg.coder == "vertical":
+        from dctpu.codec.vertical_host import compact_vertical
+
+        words, _wc = compact_vertical(payload, cfg.block_len)
+        return words
+    return compact_payload(payload, bit_len, cfg.block_len)
+
+
+def stage_frame_payload(frame) -> Tuple[np.ndarray, str]:
+    """Frame -> (padded device rows, coder name). Uniform-coder frames only."""
+    from dctpu.constants import CODER_VERTICAL
+
+    L = frame.block_len
+    B = frame.blocks.num_blocks
+    word_off = frame.blocks.word_offsets(L)
+    coders = frame.blocks.coder_arr()
+    vertical = bool(B) and bool(np.all(coders == CODER_VERTICAL))
+    if not vertical and B and np.any(coders == CODER_VERTICAL):
+        raise NotImplementedError("mixed-coder frames: decode per coder group")
+    if vertical:
+        from dctpu.codec.vertical_host import stage_vertical
+
+        return stage_vertical(frame.payload_words, word_off, L), "vertical"
+    Wp = padded_words(L) + 2
+    return pad_payload(frame.payload_words, word_off, B, Wp), "rice"
+
+
 def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
     if arr.shape[0] == size:
         return arr
@@ -139,15 +170,9 @@ def compress(
         ks.append(np.asarray(enc.k[:m]))
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
-        if cfg.coder == "vertical":
-            from dctpu.codec.vertical_host import compact_vertical
-
-            words, _wc = compact_vertical(np.asarray(enc.payload[:m]), L)
-            payloads.append(words)
-        else:
-            payloads.append(
-                compact_payload(np.asarray(enc.payload[:m]), bls[-1], L)
-            )
+        payloads.append(
+            compact_enc_payload(np.asarray(enc.payload[:m]), bls[-1], cfg)
+        )
 
     def cat(parts, dtype):
         return (
@@ -193,22 +218,10 @@ def decompress(
     chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
     backend: str | None = None,
 ) -> List[np.ndarray]:
-    from dctpu.constants import CODER_VERTICAL
-
     L = frame.block_len
     B = frame.blocks.num_blocks
-    word_off = frame.blocks.word_offsets(L)
-    coders = frame.blocks.coder_arr()
-    vertical = bool(B) and bool(np.all(coders == CODER_VERTICAL))
-    if not vertical and B and np.any(coders == CODER_VERTICAL):
-        raise NotImplementedError("mixed-coder frames: decode per coder group")
-    if vertical:
-        from dctpu.codec.vertical_host import stage_vertical
-
-        padded = stage_vertical(frame.payload_words, word_off, L)
-    else:
-        Wp = padded_words(L) + 2
-        padded = pad_payload(frame.payload_words, word_off, B, Wp)
+    padded, coder = stage_frame_payload(frame)
+    vertical = coder == "vertical"
 
     coeffs = np.array(
         [t.coeffs for t in frame.tables], dtype=np.int64

@@ -109,7 +109,7 @@ def compress_multihost(
     # Payload: compact local shard, padded allgather, slice into global order.
     local_rows = _local_rows(enc.payload)
     local_bl = bl_g[pid * per_proc : (pid + 1) * per_proc]
-    local_compact = capi.compact_payload(local_rows, local_bl, L)
+    local_compact = capi.compact_enc_payload(local_rows, local_bl, cfg)
     sizes = multihost_utils.process_allgather(
         np.array([local_compact.size], dtype=np.int64)
     ).reshape(-1)
@@ -171,6 +171,7 @@ def compress_multihost(
         sl = slice(base, base + p_blocks)
         frames_blocks.append((pred_g[sl], k_g[sl], ti_g[sl], bl_g[sl]))
         from dctpu.format.frame import payload_word_counts
+        # valid for both coders: words = sync_words + ceil(bit_len/32)
         wc = payload_word_counts(bl_g[sl], L)
         off = np.zeros(wc.size + 1, dtype=np.int64)
         np.cumsum(wc, out=off[1:])
@@ -198,7 +199,11 @@ def compress_multihost(
         n_parts.append(n_g[p, :p_blocks])
         hist_parts.append(h_g[p, :p_blocks])
 
+    from dctpu.constants import CODER_RICE, CODER_VERTICAL
+
+    coder_id = CODER_VERTICAL if cfg.coder == "vertical" else CODER_RICE
     blocks = BlockHeaders(
+        coder=np.full(pred.size, coder_id, dtype=np.uint8),
         predictor=pred.astype(np.uint8),
         k=kk.astype(np.uint8),
         n=np.concatenate(n_parts).astype(np.uint16),

@@ -56,7 +56,7 @@ def encode_blocks_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_len", "has_lpc", "mesh", "backend")
+    jax.jit, static_argnames=("block_len", "has_lpc", "mesh", "backend", "coder")
 )
 def decode_blocks_sharded(
     payload: jnp.ndarray,       # [B, Wp] u32
@@ -70,12 +70,14 @@ def decode_blocks_sharded(
     has_lpc: bool,
     mesh: Mesh,
     backend: str = "xla",
+    coder: str = "rice",
 ) -> jnp.ndarray:
     body = functools.partial(
         decode_blocks_body,
         block_len=block_len,
         has_lpc=has_lpc,
         backend=backend,
+        coder=coder,
     )
     sharded = shard_map(
         body,
@@ -137,11 +139,16 @@ def compress_sharded(
         ks.append(np.asarray(enc.k[:m]))
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
-        payloads.append(capi.compact_payload(np.asarray(enc.payload[:m]), bls[-1], L))
+        payloads.append(
+            capi.compact_enc_payload(np.asarray(enc.payload[:m]), bls[-1], cfg)
+        )
 
     def cat(parts, dtype):
         return np.concatenate(parts).astype(dtype) if parts else np.zeros(0, dtype=dtype)
 
+    from dctpu.constants import CODER_RICE, CODER_VERTICAL
+
+    coder_id = CODER_VERTICAL if cfg.coder == "vertical" else CODER_RICE
     blocks = BlockHeaders(
         predictor=cat(preds, np.uint8),
         k=cat(ks, np.uint8),
@@ -149,6 +156,7 @@ def compress_sharded(
         bit_len=cat(bls, np.uint32),
         table_idx=cat(tis, np.uint8),
         history=hist,
+        coder=np.full(B, coder_id, dtype=np.uint8),
     )
     metas = [
         StreamMeta(
@@ -184,9 +192,7 @@ def decompress_sharded(
     ndev = mesh.devices.size
     L = frame.block_len
     B = frame.blocks.num_blocks
-    Wp = padded_words(L) + 2
-    word_off = frame.blocks.word_offsets(L)
-    padded = capi.pad_payload(frame.payload_words, word_off, B, Wp)
+    padded, coder = capi.stage_frame_payload(frame)
     coeffs = (
         np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)
         if frame.tables
@@ -211,6 +217,7 @@ def decompress_sharded(
             has_lpc,
             mesh,
             backend or "xla",
+            coder,
         )
         xs[c0:c1] = np.asarray(out[: c1 - c0])
 

@@ -89,3 +89,18 @@ def test_vertical_constant_stream_is_tiny():
     assert int(fr.blocks.bit_len.sum()) <= 64
     out = xcodec.decompress(read_frame(write_frame(fr)))
     assert np.array_equal(out[0], x)
+
+
+def test_sharded_vertical_matches_single(rng):
+    import jax
+    from dctpu.dist import compress_sharded, decompress_sharded, make_mesh
+
+    streams = stream_cases(rng)[:6]
+    cfg = _vcfg(512)
+    mesh = make_mesh()
+    single = write_frame(xcodec.compress(streams, cfg))
+    shard = write_frame(compress_sharded(streams, cfg, mesh))
+    assert shard == single
+    out = decompress_sharded(read_frame(shard), mesh)
+    for a, b in zip(streams, out):
+        assert np.array_equal(np.asarray(a, np.int32), b)

@@ -44,9 +44,9 @@ def encode_blocks_body(
     z_all = rice.zigzag(r_all)
 
     if cfg.coder == "vertical":
-        from dctpu.kernels.vertical_xla import encode_vertical, vertical_total_words
+        from dctpu.kernels.vertical_xla import vertical_selection_cost
 
-        cost_c = vertical_total_words(z_all, valid[None], L)  # [C, B]
+        cost_c = vertical_selection_cost(z_all, valid[None])  # [C, B]
         choice = jnp.argmin(cost_c, axis=0).astype(jnp.int32)
         z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]
         k = jnp.zeros(B, jnp.int32)

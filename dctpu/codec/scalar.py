@@ -343,15 +343,16 @@ def vertical_encode_block(
     return 32 * len(body), payload
 
 
+def bitlength(z: np.ndarray) -> np.ndarray:
+    """Bit length of each uint32 (0 for 0). Exact via float64 log2."""
+    z64 = z.astype(np.float64)
+    return np.ceil(np.log2(z64 + 1.0)).astype(np.int64)
+
+
 def vertical_block_cost(z: np.ndarray, n: int, block_len: int) -> int:
-    """Total coded words for predictor selection under VERTICAL."""
-    caps = sub_caps(block_len)
-    total = 0
-    for s, cap in enumerate(caps):
-        zz = z[s * SUB_BLOCK : min(s * SUB_BLOCK + cap, n)]
-        if zz.size:
-            total += vertical_sub_cost_words(zz, cap)[1]
-    return total
+    """Predictor-selection proxy cost under VERTICAL (FORMAT §2.2):
+    sum of bitlengths of the valid zigzag values."""
+    return int(bitlength(z[:n]).sum())
 
 
 def vertical_decode_block(

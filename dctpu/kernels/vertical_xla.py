@@ -67,10 +67,22 @@ def _plane_word_counts(block_len: int) -> jnp.ndarray:
     return jnp.array([(c + 31) // 32 for c in sub_caps(block_len)], jnp.int32)
 
 
+def vertical_selection_cost(
+    z: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Predictor-selection proxy (FORMAT §2.2): sum of bitlengths of valid z.
+
+    z: [..., L] u32, valid broadcastable -> [...] i32. One dense pass.
+    """
+    valid = jnp.broadcast_to(valid, z.shape)
+    bl = (32 - jax.lax.clz(z.astype(jnp.int32)).astype(jnp.int32)) * (z != 0)
+    return jnp.sum(jnp.where(valid, bl, 0), axis=-1)
+
+
 def vertical_total_words(
     z: jnp.ndarray, valid: jnp.ndarray, block_len: int
 ) -> jnp.ndarray:
-    """Exact per-block coded word count for candidate selection.
+    """Exact per-block coded word count (diagnostics; not the selection rule).
 
     z: [..., B, L] u32, valid: [..., B, L] bool -> [..., B] i32.
     Mirrors the width rule (n_exc <= EXC_CAP, argmin words, tie smallest b).

@@ -277,15 +277,12 @@ static void vertical_choose_b(const uint32_t* z, int count, uint32_t cap,
   }
 }
 
-static uint32_t vertical_block_cost(const uint32_t* z, int n, uint32_t L) {
-  uint32_t total = 0;
-  for (uint32_t s = 0; s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
-    uint32_t cap = sub_cap(L, s);
-    int count = std::min<int>(cap, n - s * SUB_BLOCK);
-    uint32_t b, w;
-    vertical_choose_b(z + s * SUB_BLOCK, count, cap, &b, &w);
-    total += w;
-  }
+// Predictor-selection proxy (FORMAT §2.2): sum of bitlengths of valid z.
+static uint64_t vertical_block_cost(const uint32_t* z, int n, uint32_t L) {
+  (void)L;
+  uint64_t total = 0;
+  for (int t = 0; t < n; t++)
+    total += z[t] ? 32 - __builtin_clz(z[t]) : 0;
   return total;
 }
 

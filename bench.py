@@ -109,7 +109,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     L = 4096
-    B = 2048  # 32 MiB input, single chunk geometry
+    B = 8192  # 128 MiB input, single chunk geometry (amortizes dispatch floor)
     n_streams = 16
     streams, _, _ = synth_corpus(n_streams, B * L // n_streams, seed=123,
                                  mixed_cadence=True, cumulative_frac=0.25)
@@ -123,8 +123,11 @@ def main():
         "vertical", xd, nd, hd, raw_bytes, x, n, L
     )
     try:
+        # rice (ratio mode) detail at a smaller geometry: its scatter/scan
+        # path is slow and its compile at B=8192 is minutes on this platform
+        Br = 2048
         r_enc, r_dec, r_ratio, r_ok = _bench_coder(
-            "rice", xd, nd, hd, raw_bytes, x, n, L
+            "rice", xd[:Br], nd[:Br], hd[:Br], Br * L * 4, x[:Br], n[:Br], L
         )
     except Exception as e:  # rice detail must not sink the headline
         log(f"[rice] failed: {e}")

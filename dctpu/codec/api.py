@@ -113,7 +113,8 @@ def compact_enc_payload(
 
 
 def stage_frame_payload(frame) -> Tuple[np.ndarray, str]:
-    """Frame -> (padded device rows, coder name). Uniform-coder frames only."""
+    """Frame -> (padded device rows, coder name). Uniform-coder frames only;
+    mixed frames go through decompress(), which groups blocks per coder."""
     from dctpu.constants import CODER_VERTICAL
 
     L = frame.block_len
@@ -129,6 +130,29 @@ def stage_frame_payload(frame) -> Tuple[np.ndarray, str]:
         return stage_vertical(frame.payload_words, word_off, L), "vertical"
     Wp = padded_words(L) + 2
     return pad_payload(frame.payload_words, word_off, B, Wp), "rice"
+
+
+def _stage_block_subset(frame, idx: np.ndarray, coder_id: int) -> np.ndarray:
+    """Stage a subset of blocks (mixed-coder frames): gather the subset's disk
+    words into a compact sub-stream, then stage per the subset's coder."""
+    from dctpu.constants import CODER_VERTICAL
+    from dctpu.format.frame import payload_word_counts
+
+    L = frame.block_len
+    word_off = frame.blocks.word_offsets(L)
+    wc = payload_word_counts(frame.blocks.bit_len[idx], L)
+    sub_off = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(wc, out=sub_off[1:])
+    sub_words = np.zeros(int(sub_off[-1]), dtype=np.uint32)
+    for j, bi in enumerate(idx):  # few groups; per-block memcpy
+        sub_words[sub_off[j] : sub_off[j + 1]] = frame.payload_words[
+            word_off[bi] : word_off[bi + 1]
+        ]
+    if coder_id == CODER_VERTICAL:
+        from dctpu.codec.vertical_host import stage_vertical
+
+        return stage_vertical(sub_words, sub_off, L)
+    return pad_payload(sub_words, sub_off, idx.size, padded_words(L) + 2)
 
 
 def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
@@ -218,34 +242,43 @@ def decompress(
     chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
     backend: str | None = None,
 ) -> List[np.ndarray]:
+    from dctpu.constants import CODER_VERTICAL
+
     L = frame.block_len
     B = frame.blocks.num_blocks
-    padded, coder = stage_frame_payload(frame)
-    vertical = coder == "vertical"
-
+    coders = frame.blocks.coder_arr()
     coeffs = np.array(
         [t.coeffs for t in frame.tables], dtype=np.int64
     ).reshape(len(frame.tables), 4) if frame.tables else np.zeros((1, 4), np.int64)
 
     xs = np.zeros((B, L), dtype=np.int32)
-    for c0 in range(0, B, chunk_blocks):
-        c1 = min(c0 + chunk_blocks, B)
-        size = chunk_blocks if B > chunk_blocks else B
-        has_lpc = bool(np.any(frame.blocks.predictor[c0:c1] == LPC))
-        out = decode_blocks(
-            _pad_chunk(padded[c0:c1], size),
-            _pad_chunk(frame.blocks.k[c0:c1].astype(np.int32), size),
-            _pad_chunk(frame.blocks.n[c0:c1].astype(np.int32), size),
-            _pad_chunk(frame.blocks.predictor[c0:c1].astype(np.int32), size),
-            _pad_chunk(frame.blocks.table_idx[c0:c1].astype(np.int32), size),
-            _pad_chunk(frame.blocks.history[c0:c1], size),
-            coeffs,
-            L,
-            has_lpc,
-            backend or "xla",
-            "vertical" if vertical else "rice",
-        )
-        xs[c0:c1] = np.asarray(out[: c1 - c0])
+    for coder_id in np.unique(coders) if B else []:
+        idx = np.nonzero(coders == coder_id)[0]
+        if idx.size == B:
+            padded, coder = stage_frame_payload(frame)
+        else:  # mixed-coder frame: stage this coder's subset
+            padded = _stage_block_subset(frame, idx, int(coder_id))
+            coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
+        G = idx.size
+        for c0 in range(0, G, chunk_blocks):
+            c1 = min(c0 + chunk_blocks, G)
+            sel = idx[c0:c1]
+            size = chunk_blocks if G > chunk_blocks else G
+            has_lpc = bool(np.any(frame.blocks.predictor[sel] == LPC))
+            out = decode_blocks(
+                _pad_chunk(padded[c0:c1], size),
+                _pad_chunk(frame.blocks.k[sel].astype(np.int32), size),
+                _pad_chunk(frame.blocks.n[sel].astype(np.int32), size),
+                _pad_chunk(frame.blocks.predictor[sel].astype(np.int32), size),
+                _pad_chunk(frame.blocks.table_idx[sel].astype(np.int32), size),
+                _pad_chunk(frame.blocks.history[sel], size),
+                coeffs,
+                L,
+                has_lpc,
+                backend or "xla",
+                coder,
+            )
+            xs[sel] = np.asarray(out[: c1 - c0])
 
     streams = []
     for s in frame.streams:

@@ -28,13 +28,26 @@ from dctpu.kernels.pack_xla import padded_words
 ROWS = 8  # blocks per grid program (TPU sublane tiling requires 8)
 
 
+def _inclusive_scan(x: jnp.ndarray) -> jnp.ndarray:
+    """Hillis-Steele inclusive scan along axis 1 (Mosaic lacks cumsum)."""
+    L = x.shape[1]
+    d = 1
+    while d < L:
+        shifted = jnp.concatenate(
+            [jnp.zeros((x.shape[0], d), x.dtype), x[:, : L - d]], axis=1
+        )
+        x = x + shifted
+        d *= 2
+    return x
+
+
 def _pack_kernel(code_lo_ref, code_hi_ref, length_ref, payload_ref, *, block_len):
     L = block_len
     SW = sync_words(L)
     subs = subs_per_block(L)
 
     lengths = length_ref[:, :]                      # [ROWS, L] i32
-    incl = jnp.cumsum(lengths, axis=1)              # inclusive scan
+    incl = _inclusive_scan(lengths)                 # inclusive scan
     off = incl - lengths                            # exclusive scan
 
     payload_ref[:, :] = jnp.zeros_like(payload_ref[:, :])
@@ -43,7 +56,7 @@ def _pack_kernel(code_lo_ref, code_hi_ref, length_ref, payload_ref, *, block_len
     pad = subs * SUB_BLOCK - L
     lens_p = jnp.pad(lengths, ((0, 0), (0, pad))) if pad else lengths
     sub_lens = jnp.sum(
-        lens_p.reshape(ROWS, subs, SUB_BLOCK), axis=2
+        lens_p.reshape(ROWS, subs, SUB_BLOCK), axis=2, dtype=jnp.int32
     ).astype(jnp.uint32)
     if subs % 2:
         sub_lens = jnp.pad(sub_lens, ((0, 0), (0, 1)))

@@ -259,6 +259,12 @@ def decompress(
         else:  # mixed-coder frame: stage this coder's subset
             padded = _stage_block_subset(frame, idx, int(coder_id))
             coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
+        max_planes = 32
+        if coder == "vertical":
+            from dctpu.codec.vertical_host import max_plane_width
+            from dctpu.kernels.vertical_xla import plane_bucket
+
+            max_planes = plane_bucket(max_plane_width(padded, L))
         G = idx.size
         for c0 in range(0, G, chunk_blocks):
             c1 = min(c0 + chunk_blocks, G)
@@ -277,6 +283,7 @@ def decompress(
                 has_lpc,
                 backend or "xla",
                 coder,
+                max_planes,
             )
             xs[sel] = np.asarray(out[: c1 - c0])
 

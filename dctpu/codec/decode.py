@@ -29,11 +29,12 @@ def decode_blocks_body(
     has_lpc: bool,
     backend: str = "xla",
     coder: str = "rice",
+    max_planes: int = 32,
 ) -> jnp.ndarray:
     if coder == "vertical":
         from dctpu.kernels.vertical_xla import decode_vertical
 
-        z = decode_vertical(payload, n, block_len)
+        z = decode_vertical(payload, n, block_len, max_planes)
     else:
         z = kernels.unpack(payload, k, n, block_len, backend)  # [B, L] u32
     r = rice.unzigzag(z)
@@ -46,5 +47,5 @@ def decode_blocks_body(
 
 decode_blocks = jax.jit(
     decode_blocks_body,
-    static_argnames=("block_len", "has_lpc", "backend", "coder"),
+    static_argnames=("block_len", "has_lpc", "backend", "coder", "max_planes"),
 )

@@ -137,3 +137,10 @@ def stage_vertical(
     src = disk_words[word_off[bi] + SW + within_block]
     out.reshape(-1)[bi * W + SW + si * REGION_WORDS + region_idx] = src
     return out
+
+
+def max_plane_width(staged_rows: np.ndarray, block_len: int) -> int:
+    """Max sub-block width b in a staged batch (from the sync tables)."""
+    S = subs_per_block(block_len)
+    b, _ = _parse_sync_rows(staged_rows[:, : sync_words(block_len)], S)
+    return int(b.max()) if b.size else 0

@@ -56,7 +56,8 @@ def encode_blocks_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_len", "has_lpc", "mesh", "backend", "coder")
+    jax.jit,
+    static_argnames=("block_len", "has_lpc", "mesh", "backend", "coder", "max_planes"),
 )
 def decode_blocks_sharded(
     payload: jnp.ndarray,       # [B, Wp] u32
@@ -71,6 +72,7 @@ def decode_blocks_sharded(
     mesh: Mesh,
     backend: str = "xla",
     coder: str = "rice",
+    max_planes: int = 32,
 ) -> jnp.ndarray:
     body = functools.partial(
         decode_blocks_body,
@@ -78,6 +80,7 @@ def decode_blocks_sharded(
         has_lpc=has_lpc,
         backend=backend,
         coder=coder,
+        max_planes=max_planes,
     )
     sharded = shard_map(
         body,
@@ -193,6 +196,12 @@ def decompress_sharded(
     L = frame.block_len
     B = frame.blocks.num_blocks
     padded, coder = capi.stage_frame_payload(frame)
+    max_planes = 32
+    if coder == "vertical":
+        from dctpu.codec.vertical_host import max_plane_width
+        from dctpu.kernels.vertical_xla import plane_bucket
+
+        max_planes = plane_bucket(max_plane_width(padded, L))
     coeffs = (
         np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)
         if frame.tables
@@ -218,6 +227,7 @@ def decompress_sharded(
             mesh,
             backend or "xla",
             coder,
+            max_planes,
         )
         xs[c0:c1] = np.asarray(out[: c1 - c0])
 

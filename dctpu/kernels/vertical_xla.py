@@ -196,12 +196,29 @@ def encode_vertical(
     return payload, bit_len.astype(jnp.int32)
 
 
+PLANE_BUCKETS = (8, 12, 16, 24, 32)
+
+
+def plane_bucket(max_b: int) -> int:
+    """Smallest static plane count covering max_b (bounds recompiles)."""
+    for b in PLANE_BUCKETS:
+        if max_b <= b:
+            return b
+    return 32
+
+
 def decode_vertical(
     payload: jnp.ndarray,  # [B, SW + SUBS*REGION_WORDS] staged regions
     n: jnp.ndarray,        # [B] i32
     block_len: int,
+    max_planes: int = 32,
 ) -> jnp.ndarray:
-    """Returns z [B, L] u32 (zeros past n). Dense ops only."""
+    """Returns z [B, L] u32 (zeros past n). Dense ops only.
+
+    max_planes: static upper bound on any sub-block's width b in this batch
+    (planes >= b are zero-staged, so skipping them is exact). The host reads
+    it off the sync tables before launch.
+    """
     B = payload.shape[0]
     subs = subs_per_block(block_len)
     SW = sync_words(block_len)
@@ -222,7 +239,7 @@ def decode_vertical(
     # planes -> z (planes >= b are zero-staged, so no masking needed)
     lane = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
     z = jnp.zeros((B, subs, 4, 32), dtype=jnp.uint32)
-    for p in range(32):
+    for p in range(max_planes):
         bits = (plane_words[:, :, p, :, None] >> lane) & jnp.uint32(1)
         z = z | (bits << jnp.uint32(p))
     z = z.reshape(B, subs, SUB_BLOCK)

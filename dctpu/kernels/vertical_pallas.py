@@ -40,16 +40,18 @@ def _decode_kernel(region_ref, b_ref, nexc_ref, count_ref, z_ref, *, max_planes)
             rep = jnp.where(group == w, col, rep)
         z = z | (((rep >> shifts) & jnp.uint32(1)) << jnp.uint32(p))
 
-    b = b_ref[:, :].astype(jnp.uint32)                    # [TR, 1]
+    bi32 = b_ref[:, :]                                    # [TR, 1] i32
     nexc = nexc_ref[:, :]                                 # [TR, 1] i32
-    bsh = jnp.minimum(b, jnp.uint32(31))
+    b = bi32.astype(jnp.uint32)
+    # signed min: Mosaic cannot legalize vector arith.minui on this platform
+    bsh = jnp.minimum(bi32, 31).astype(jnp.uint32)
     for j in range(EXC_CAP):
         pw = region_ref[:, PLANE_REGION + j // 4 : PLANE_REGION + j // 4 + 1]
         pos = (pw >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
         val = region_ref[
             :, PLANE_REGION + POS_REGION + j : PLANE_REGION + POS_REGION + j + 1
         ]
-        live = (jnp.int32(j) < nexc) & (b < 32)
+        live = (jnp.int32(j) < nexc) & (bi32 < 32)
         onehot = (lane == pos) & live
         z = z | jnp.where(onehot, val << bsh, jnp.uint32(0))
 

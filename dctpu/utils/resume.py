@@ -17,6 +17,23 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+def with_retry(fn, attempts: int = 2, on_error=None):
+    """Failure-detection wrapper (SURVEY.md §5): re-run a failed shard once.
+
+    The frame format makes re-encoding any stream shard independent work, so
+    recovery is just retrying the part; no distributed state to repair.
+    """
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — deliberate blanket retry
+            last = e
+            if on_error is not None:
+                on_error(i, e)
+    raise last
+
+
 class EncodeJob:
     """Resumable chunked encode: streams -> part frames -> one merged frame."""
 

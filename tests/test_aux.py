@@ -68,3 +68,23 @@ def test_run_metrics_json(rng):
     assert d["mode"] == "encode"
     assert d["ratio"] > 1
     assert sum(d["predictor_histogram"].values()) == frame.blocks.num_blocks
+
+
+def test_with_retry():
+    from dctpu.utils.resume import with_retry
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky) == "ok"
+    assert len(calls) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)

@@ -93,22 +93,42 @@ def reconstruct_double_delta(r: jnp.ndarray, history: jnp.ndarray) -> jnp.ndarra
 def reconstruct_lpc(
     r: jnp.ndarray, history: jnp.ndarray, coeffs_per_block: jnp.ndarray
 ) -> jnp.ndarray:
-    """LPC recurrence: scan over the sample axis, vectorized over blocks.
+    """LPC recurrence: chunked scan over the sample axis, vectorized over blocks.
 
     r: [B, L] int32; history: [B, 4] int32; coeffs_per_block: [B, 4] int64
     (already gathered from the table via each block's table_idx).
+
+    The recurrence is sequential (the Q16 floor shift is not associative), but
+    scan-step overhead dominates at one sample per step, so each step advances
+    CHUNK samples with an unrolled body (identical wrapping-i64 arithmetic, so
+    the result is bit-identical to the one-sample scan). History rides as four
+    separate [B] lanes to avoid per-step concat materialization.
     """
+    B, L = r.shape
+    chunk = 32
+    while L % chunk:
+        chunk //= 2
+    c0, c1, c2, c3 = (coeffs_per_block[:, j] for j in range(4))
 
-    def step(hist, r_t):
-        # hist: [B, 4] int32, r_t: [B]
-        acc = jnp.sum(coeffs_per_block * hist.astype(jnp.int64), axis=1)
-        pred = (acc >> LPC_SHIFT).astype(jnp.int32)
-        x_t = r_t + pred
-        new_hist = jnp.concatenate([x_t[:, None], hist[:, :3]], axis=1)
-        return new_hist, x_t
+    def step(hist, r_c):
+        h0, h1, h2, h3 = hist
+        outs = []
+        for t in range(r_c.shape[0]):
+            acc = (
+                c0 * h0.astype(jnp.int64)
+                + c1 * h1.astype(jnp.int64)
+                + c2 * h2.astype(jnp.int64)
+                + c3 * h3.astype(jnp.int64)
+            )
+            x_t = r_c[t] + (acc >> LPC_SHIFT).astype(jnp.int32)
+            h0, h1, h2, h3 = x_t, h0, h1, h2
+            outs.append(x_t)
+        return (h0, h1, h2, h3), jnp.stack(outs)
 
-    _, xs = jax.lax.scan(step, history, r.T)  # xs: [L, B]
-    return xs.T
+    hist0 = tuple(history[:, j] for j in range(4))
+    rT = r.T.reshape(L // chunk, chunk, B)
+    _, xs = jax.lax.scan(step, hist0, rT)  # [L/chunk, chunk, B]
+    return xs.reshape(L, B).T
 
 
 def reconstruct_all(

@@ -24,6 +24,12 @@ def default_backend() -> str:
 def pack(code_lo, code_hi, length, valid, block_len: int, backend: str | None = None):
     backend = backend or default_backend()
     if backend == "xla":
+        # dense hierarchical-merge packer: bit-identical to pack_xla, ~100x
+        # faster on TPU (pack_xla's scatter lowers to a serial loop there)
+        from dctpu.kernels.pack_merge import pack_merge
+
+        return pack_merge(code_lo, code_hi, length, valid, block_len)
+    if backend == "scatter":
         return pack_xla(code_lo, code_hi, length, valid, block_len)
     if backend == "pallas":
         from dctpu.kernels.pack_pallas import pack_pallas

@@ -90,6 +90,56 @@ def bit_transpose32(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., ::-1]
 
 
+def _smear(z: jnp.ndarray) -> jnp.ndarray:
+    """Bits [0, bitlen(z)) set: OR-smear of each value down from its MSB."""
+    z = z | (z >> jnp.uint32(1))
+    z = z | (z >> jnp.uint32(2))
+    z = z | (z >> jnp.uint32(4))
+    z = z | (z >> jnp.uint32(8))
+    return z | (z >> jnp.uint32(16))
+
+
+def exceed_counts(zs: jnp.ndarray) -> jnp.ndarray:
+    """n_exc table: [..., S, 128] u32 (zeros where invalid) -> [..., S, 33] i32.
+
+    out[..., b] = count of samples with bitlen > b. One smear + one 32x32
+    bit-matrix transpose + popcount instead of 33 masked reductions over the
+    sample axis: bit p of smear(z) says bitlen(z) > p, the transpose turns
+    plane p into a per-plane bitmask over 32 samples, and popcount counts it.
+    """
+    m = _smear(zs)
+    mg = m.reshape(m.shape[:-1] + (4, 32))
+    mt = bit_transpose32(mg)  # [..., S, 4, 32]: word p bit c = bitlen>p
+    cnt = jnp.sum(
+        jax.lax.population_count(mt).astype(jnp.int32), axis=-2
+    )  # [..., S, 32]
+    zero = jnp.zeros(cnt.shape[:-1] + (1,), jnp.int32)
+    return jnp.concatenate([cnt, zero], axis=-1)
+
+
+def _select_width(
+    n_exc_all: jnp.ndarray,  # [..., S, 33] i32
+    pw: jnp.ndarray,         # broadcastable [..., S] i32 plane word counts
+):
+    """argmin_b words(b) s.t. n_exc(b) <= EXC_CAP; ties -> smallest b.
+
+    Returns (best_b, best_words, best_exc), each [..., S] i32. b=32 is always
+    legal (n_exc(32) == 0), so the argmin domain is never empty.
+    """
+    b_axis = jnp.arange(33, dtype=jnp.int32)
+    words = pw[..., None] * b_axis + (n_exc_all + 3) // 4 + n_exc_all
+    words = jnp.where(n_exc_all <= EXC_CAP, words, jnp.int32(1 << 24))
+    # Single min over a packed (words, b) key — ties pick the smallest b; the
+    # one-hot re-select avoids take_along_axis (TPU gathers cost ~ms here).
+    key = words * 64 + b_axis  # words <= 2^24 sentinel; key fits int32
+    best_key = jnp.min(key, axis=-1)
+    best_b = (best_key & 63).astype(jnp.int32)
+    best_words = best_key >> 6
+    onehot = b_axis == best_b[..., None]
+    best_exc = jnp.sum(jnp.where(onehot, n_exc_all, 0), axis=-1)
+    return best_b, best_words, best_exc
+
+
 def vertical_selection_cost(
     z: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:
@@ -121,21 +171,9 @@ def vertical_total_words(
         zm = jnp.pad(zm, widths)
         vm = jnp.pad(vm, widths)
     zs = zm.reshape(z.shape[:-1] + (subs, SUB_BLOCK))
-    vs = vm.reshape(z.shape[:-1] + (subs, SUB_BLOCK))
-    bitlen = (32 - jax.lax.clz(zs.astype(jnp.int32)).astype(jnp.int32)) * (zs != 0)
     pw = _plane_word_counts(block_len)
     pw = pw.reshape((1,) * (z.ndim - 1) + (subs,))
-    best_words = pw * 32
-    best_b = jnp.full(best_words.shape, 32, jnp.int32)
-    for b in range(33):
-        n_exc = jnp.sum((bitlen > b) & vs, axis=-1).astype(jnp.int32)
-        words = pw * b + (n_exc + 3) // 4 + n_exc
-        legal = n_exc <= EXC_CAP
-        better = legal & (
-            (words < best_words) | ((words == best_words) & (b < best_b))
-        )
-        best_b = jnp.where(better, b, best_b)
-        best_words = jnp.where(better, words, best_words)
+    _, best_words, _ = _select_width(exceed_counts(zs), pw)
     return jnp.sum(best_words, axis=-1)
 
 
@@ -152,25 +190,14 @@ def encode_vertical(
     pw = _plane_word_counts(block_len)[None, :]  # [1, S]
 
     # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
-    # bitlength of each z (0 for z == 0); n_exc(b) = count(bitlen > b)
+    # zs is already zeroed outside `valid`, so zero samples never count as
+    # exceeding any plane; one smear+transpose+popcount pass replaces the
+    # 33-reduction sweep (exceed_counts docstring).
+    best_b, best_words, best_exc = _select_width(exceed_counts(zs), pw)
+    bit_len = 32 * jnp.sum(best_words, axis=1)
     bitlen = (32 - jax.lax.clz(zs.astype(jnp.int32)).astype(jnp.int32)) * (
         zs != 0
     )
-    best_b = jnp.full((B, subs), 32, jnp.int32)
-    best_words = pw * 32
-    best_exc = jnp.zeros((B, subs), jnp.int32)
-    for b in range(33):
-        n_exc = jnp.sum((bitlen > b) & valid, axis=2).astype(jnp.int32)
-        words = pw * b + (n_exc + 3) // 4 + n_exc
-        legal = n_exc <= EXC_CAP
-        better = legal & (
-            (words < best_words) | ((words == best_words) & (b < best_b))
-        )
-        best_b = jnp.where(better, b, best_b)
-        best_words = jnp.where(better, words, best_words)
-        best_exc = jnp.where(better, n_exc, best_exc)
-
-    bit_len = 32 * jnp.sum(best_words, axis=1)
 
     # ---- bit planes: 32x32 bit-matrix transpose per word group ----
     zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
@@ -179,14 +206,18 @@ def encode_vertical(
     plane_region = plane_words.reshape(B, subs, PLANE_REGION)
 
     # ---- exceptions: rank-match extraction, EXC_CAP dense passes ----
+    # rank8 packs (is_exc, rank) into one u8 read per pass: 255 = not an
+    # exception, else the exception's rank. Gather-free (TPU gathers measured
+    # ~10 ms at this size); per pass traffic is 1 byte (rank8) + 4 (high).
     is_exc = (bitlen > best_b[:, :, None]) & valid  # [B, S, 128]
     rank = jnp.cumsum(is_exc.astype(jnp.int32), axis=2) - 1
+    rank8 = jnp.where(is_exc, rank, 255).astype(jnp.uint8)
     idx = jnp.arange(SUB_BLOCK, dtype=jnp.int32)[None, None, :]
     bb = best_b[:, :, None].astype(jnp.uint32)
     high = jnp.where(bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31)))
     pos_list, val_list = [], []
     for j in range(EXC_CAP):
-        m = is_exc & (rank == j)
+        m = rank8 == jnp.uint8(j)
         pos_list.append(jnp.sum(jnp.where(m, idx, 0), axis=2).astype(jnp.uint32))
         val_list.append(jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
     pos = jnp.stack(pos_list, axis=2)  # [B, S, 16] u32 (u8 values)

@@ -6,8 +6,12 @@ against the per-chip share of the driver target (>= 10 GB/s aggregate on a
 v5p-16 = 8 chips -> 1.25 GB/s per chip). Detail lines (Rice mode, decode,
 ratios, host pipeline) go to stderr.
 
-NOTE (axon platform): jax.block_until_ready does NOT block — every timed
-iteration forces a small device->host fetch instead (dctpu.utils.timing).
+Timing method (axon platform): jax.block_until_ready is a no-op and every
+device->host fetch costs ~25 ms through the relay, so each stage is timed as
+a salted k-chain inside one jit reduced to a u32 checksum — the difference
+t(k)-t(1) cancels both the dispatch cost and the fetch floor
+(dctpu.utils.timing.chained_seconds). Round-trip bit-exactness is asserted
+on real outputs before any number is reported.
 """
 
 import json
@@ -23,30 +27,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, reps=3):
+def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
+    import jax
     import jax.numpy as jnp
 
     from dctpu.codec import api as capi
-    from dctpu.codec.decode import decode_blocks
-    from dctpu.codec.encode import encode_blocks
+    from dctpu.codec.decode import decode_blocks, decode_blocks_body
+    from dctpu.codec.encode import encode_blocks, encode_blocks_body
     from dctpu.config import CodecConfig
+    from dctpu.utils.timing import chained_seconds
 
     cfg = CodecConfig(coder=coder)
     B = xd.shape[0]
 
+    # ---- real encode output (correctness + decode staging) ----
     t0 = time.time()
     enc = encode_blocks(xd, nd, hd, cfg, "xla")
     bl = np.asarray(enc.bit_len)
     log(f"[{coder}] encode compile+first: {time.time()-t0:.1f}s")
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        enc = encode_blocks(xd, nd, hd, cfg, "xla")
-        bl = np.asarray(enc.bit_len)
-        ts.append(time.time() - t0)
-    enc_t = sorted(ts)[len(ts) // 2]
+
+    def enc_stage(x, n, h, salt):
+        e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "xla")
+        return e.bit_len, e.payload[:, :1]
+
+    t0 = time.time()
+    enc_t = chained_seconds(enc_stage, (xd, nd, hd), k=chain)
     enc_gbps = raw_bytes / enc_t / 1e9
-    log(f"[{coder}] device encode: {enc_gbps:.4f} GB/s/chip ({enc_t*1e3:.0f} ms)")
+    log(f"[{coder}] device encode: {enc_gbps:.4f} GB/s/chip "
+        f"({enc_t*1e3:.1f} ms; chain compile+run {time.time()-t0:.0f}s)")
 
     # ---- stage for decode ----
     if coder == "vertical":
@@ -79,21 +87,25 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, reps=3):
     args = (pd, enc.k, nd, enc.predictor, enc.table_idx, hd, coeffs)
     t0 = time.time()
     out = decode_blocks(*args, L, True, "xla", coder)
-    _ = np.asarray(out[:, :1])
+    _ = np.asarray(out[:1, :1])
     log(f"[{coder}] decode compile+first: {time.time()-t0:.1f}s")
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = decode_blocks(*args, L, True, "xla", coder)
-        _ = np.asarray(out[:, :1])
-        ts.append(time.time() - t0)
-    dec_t = sorted(ts)[len(ts) // 2]
-    dec_gbps = raw_bytes / dec_t / 1e9
-    log(f"[{coder}] device decode: {dec_gbps:.4f} GB/s/chip ({dec_t*1e3:.0f} ms)")
 
     ok = np.array_equal(
         np.asarray(out), x * (np.arange(L)[None, :] < n[:, None])
     )
+
+    def dec_stage(p, salt):
+        # salt only the zero padding tail words: decode output stays valid
+        return decode_blocks_body(
+            p.at[:, -1].set(salt), enc.k, nd, enc.predictor, enc.table_idx,
+            hd, coeffs, L, True, "xla", coder)
+
+    t0 = time.time()
+    dec_t = chained_seconds(dec_stage, (pd,), k=chain)
+    dec_gbps = raw_bytes / dec_t / 1e9
+    log(f"[{coder}] device decode: {dec_gbps:.4f} GB/s/chip "
+        f"({dec_t*1e3:.1f} ms; chain compile+run {time.time()-t0:.0f}s)")
+
     ratio = raw_bytes / comp_bytes
     log(f"[{coder}] bit-exact: {ok}  payload ratio: {ratio:.3f}x")
     return enc_gbps, dec_gbps, ratio, ok
@@ -123,11 +135,12 @@ def main():
         "vertical", xd, nd, hd, raw_bytes, x, n, L
     )
     try:
-        # rice (ratio mode) detail at a smaller geometry: its scatter/scan
-        # path is slow and its compile at B=8192 is minutes on this platform
+        # rice (ratio mode) detail at a smaller geometry: its merge-tree pack
+        # compiles for minutes at B=8192 on this platform
         Br = 2048
         r_enc, r_dec, r_ratio, r_ok = _bench_coder(
-            "rice", xd[:Br], nd[:Br], hd[:Br], Br * L * 4, x[:Br], n[:Br], L
+            "rice", xd[:Br], nd[:Br], hd[:Br], Br * L * 4, x[:Br], n[:Br], L,
+            chain=3,
         )
     except Exception as e:  # rice detail must not sink the headline
         log(f"[rice] failed: {e}")

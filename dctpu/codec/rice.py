@@ -43,14 +43,23 @@ def choose_k(z: jnp.ndarray, valid: jnp.ndarray, k_max: int = K_MAX) -> Tuple[jn
     z: [..., L] uint32, valid: [..., L] bool. Returns (k [...], bits [...]).
     Ties choose the smallest k (argmin returns the first minimum).
     """
-    totals = []
-    for k in range(k_max + 1):
-        lens = code_lengths(z, jnp.uint32(k))
-        totals.append(jnp.sum(jnp.where(valid, lens, 0), axis=-1))
-    totals = jnp.stack(totals, axis=-1)  # [..., K+1]
-    k_best = jnp.argmin(totals, axis=-1).astype(jnp.int32)
-    bits_best = jnp.take_along_axis(totals, k_best[..., None], axis=-1)[..., 0]
-    return k_best, bits_best
+    ks = jnp.arange(k_max + 1, dtype=jnp.uint32)  # [K+1]
+    # One reduction per k laid out [..., K+1, L] so the reduced (sample) axis
+    # is MINOR — XLA fuses the per-k length math into the reduce; a non-minor
+    # reduce materializes the [..., L, K+1] expansion (measured slower than
+    # separate launches).
+    q = z[..., None, :] >> ks[:, None]
+    lens = jnp.where(
+        q >= ESCAPE_Q,
+        MAX_CODE_BITS,
+        q.astype(jnp.int32) + 1 + ks.astype(jnp.int32)[:, None],
+    )
+    totals = jnp.sum(
+        jnp.where(valid[..., None, :], lens, 0), axis=-1
+    )  # [..., K+1]
+    # Packed-key min: totals <= L*MAX_CODE_BITS < 2^26, ties -> smallest k.
+    key = jnp.min(totals * 32 + ks.astype(jnp.int32), axis=-1)
+    return (key & 31).astype(jnp.int32), key >> 5
 
 
 def codewords(z: jnp.ndarray, k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

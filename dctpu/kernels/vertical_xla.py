@@ -212,15 +212,20 @@ def encode_vertical(
     is_exc = (bitlen > best_b[:, :, None]) & valid  # [B, S, 128]
     rank = jnp.cumsum(is_exc.astype(jnp.int32), axis=2) - 1
     rank8 = jnp.where(is_exc, rank, 255).astype(jnp.uint8)
-    idx = jnp.arange(SUB_BLOCK, dtype=jnp.int32)[None, None, :]
+    idx = jnp.arange(SUB_BLOCK, dtype=jnp.uint32)[None, None, :]
     bb = best_b[:, :, None].astype(jnp.uint32)
     high = jnp.where(bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31)))
+    # EXC_CAP separate rank-match passes. Measured alternatives that LOSE on
+    # this TPU: take_along_axis gathers (~10 ms), and a single reduce over a
+    # broadcast [B, S, EXC, 128] expansion (16x the VPU compute whether or
+    # not XLA fuses it; ~2x slower than these passes). A fused Pallas encode
+    # kernel is the planned round-2 replacement.
     pos_list, val_list = [], []
     for j in range(EXC_CAP):
         m = rank8 == jnp.uint8(j)
-        pos_list.append(jnp.sum(jnp.where(m, idx, 0), axis=2).astype(jnp.uint32))
+        pos_list.append(jnp.sum(jnp.where(m, idx, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
         val_list.append(jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
-    pos = jnp.stack(pos_list, axis=2)  # [B, S, 16] u32 (u8 values)
+    pos = jnp.stack(pos_list, axis=2)   # [B, S, 16]
     vals = jnp.stack(val_list, axis=2)  # [B, S, 16]
 
     # zero out entries past n_exc, pack positions 4-per-word
@@ -293,7 +298,10 @@ def decode_vertical(
     pw_by_group = jnp.swapaxes(plane_words, 2, 3)  # [B, S, 4w, 32p]
     z = bit_transpose32(pw_by_group).reshape(B, subs, SUB_BLOCK)
 
-    # exception patch: one-hot over sample index, EXC_CAP dense passes
+    # exception patch: one reduction over the (minor) exception axis — live
+    # positions within a sub-block are distinct, so at most one j matches any
+    # sample and the sum equals the OR. XLA fuses the broadcast compare into
+    # the reduce, so traffic is ~one pass over z plus the tiny pos/val arrays.
     idx = jnp.arange(SUB_BLOCK, dtype=jnp.uint32)[None, None, :]
     shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :]
     pos = ((pos_words[:, :, :, None] >> shifts) & jnp.uint32(0xFF)).reshape(
@@ -302,14 +310,17 @@ def decode_vertical(
     bb = b[:, :, None]
     jj = jnp.arange(EXC_CAP, dtype=jnp.int32)[None, None, :]
     live = jj < n_exc[:, :, None]
-    for j in range(EXC_CAP):
-        onehot = (idx == pos[:, :, j : j + 1]) & live[:, :, j : j + 1]
-        patch = jnp.where(
-            bb >= 32,
-            jnp.uint32(0),
-            vals[:, :, j : j + 1] << jnp.minimum(bb, jnp.uint32(31)),
-        )
-        z = z | jnp.where(onehot, patch, jnp.uint32(0))
+    patch_vals = jnp.where(
+        live & (bb < 32),
+        vals << jnp.minimum(bb, jnp.uint32(31)),
+        jnp.uint32(0),
+    )  # [B, S, EXC]
+    onehot = idx[:, :, :, None] == pos[:, :, None, :]  # [B, S, 128, EXC]
+    z = z | jnp.sum(
+        jnp.where(onehot, patch_vals[:, :, None, :], jnp.uint32(0)),
+        axis=3,
+        dtype=jnp.uint32,
+    )
 
     z = z.reshape(B, subs * SUB_BLOCK)[:, :L]
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]

@@ -42,6 +42,45 @@ def device_time(f: Callable, reps: int = 3, warmup: int = 1) -> Tuple[float, obj
     return sorted(times)[len(times) // 2], out
 
 
+def chained_seconds(make_stage, args, k: int = 4, reps: int = 3):
+    """Per-iteration device seconds of `make_stage(*args, salt=u32)`.
+
+    Builds two jitted programs running the stage 1x and kx (inputs salted per
+    instance so CSE cannot collapse them), each reduced to one u32 checksum so
+    a single ~4-byte fetch forces completion. Returns (t(k)-t(1))/(k-1):
+    both the dispatch cost and the axon fetch-latency floor (~25 ms) cancel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def build(m):
+        @jax.jit
+        def g(*a):
+            acc = jnp.uint32(0)
+            for i in range(m):
+                out = make_stage(*a, salt=jnp.uint32(i))
+                for leaf in jax.tree_util.tree_leaves(out):
+                    f = leaf.ravel()
+                    acc = acc + jnp.sum(f.astype(jnp.uint32) if f.dtype != jnp.uint32 else f)
+            return acc
+
+        return g
+
+    g1, gk = build(1), build(k)
+    np.asarray(g1(*args))
+    np.asarray(gk(*args))
+
+    def run(g):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(g(*args))
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    return max((run(gk) - run(g1)) / (k - 1), 1e-9)
+
+
 def trace(path: str):
     """Context manager: jax.profiler trace into `path` (view in TensorBoard)."""
     return jax.profiler.trace(path)

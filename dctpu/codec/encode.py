@@ -42,28 +42,38 @@ def encode_blocks_body(
     cands = cfg.candidates()
     r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
     z_all = rice.zigzag(r_all)
+    C = len(cands)
+    c_axis = jnp.arange(C, dtype=jnp.int32)
+
+    # Candidate selection is one-hot sums, never take_along_axis: a [B, L]
+    # gather on this TPU costs ~ms while C<=6 masked passes fuse into the
+    # producers (same reasoning as vertical_xla._select_width).
+    def _pick(arr_c, choice):
+        oh = c_axis[:, None] == choice[None, :]  # [C, B]
+        oh = oh.reshape(oh.shape + (1,) * (arr_c.ndim - 2))
+        return jnp.sum(jnp.where(oh, arr_c, 0), axis=0, dtype=arr_c.dtype)
 
     if cfg.coder == "vertical":
         from dctpu.kernels.vertical_xla import vertical_selection_cost
 
         cost_c = vertical_selection_cost(z_all, valid[None])  # [C, B]
         choice = jnp.argmin(cost_c, axis=0).astype(jnp.int32)
-        z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]
+        z = _pick(z_all, choice)
         k = jnp.zeros(B, jnp.int32)
     else:
         # Exact per-candidate k selection (masked to valid samples).
         k_c, bits_c = rice.choose_k(z_all, valid[None, :, :], cfg.k_max)  # [C, B]
         # Candidate argmin; ties -> earliest candidate (normative order).
         choice = jnp.argmin(bits_c, axis=0).astype(jnp.int32)  # [B]
-        k = jnp.take_along_axis(k_c, choice[None, :], axis=0)[0]
-        z = jnp.take_along_axis(z_all, choice[None, :, None], axis=0)[0]  # [B, L]
+        k = _pick(k_c, choice)
+        z = _pick(z_all, choice)  # [B, L]
 
     pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
     tidx_ids = jnp.array(
         [ti if p == LPC else 0 for p, ti in cands], dtype=jnp.int32
     )
-    predictor = pred_ids[choice]
-    table_idx = tidx_ids[choice]
+    predictor = _pick(pred_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
+    table_idx = _pick(tidx_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
 
     if cfg.coder == "vertical":
         from dctpu.kernels.vertical_xla import encode_vertical

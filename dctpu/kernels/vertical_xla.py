@@ -215,27 +215,35 @@ def encode_vertical(
     idx = jnp.arange(SUB_BLOCK, dtype=jnp.uint32)[None, None, :]
     bb = best_b[:, :, None].astype(jnp.uint32)
     high = jnp.where(bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31)))
-    # EXC_CAP separate rank-match passes. Measured alternatives that LOSE on
-    # this TPU: take_along_axis gathers (~10 ms), and a single reduce over a
-    # broadcast [B, S, EXC, 128] expansion (16x the VPU compute whether or
-    # not XLA fuses it; ~2x slower than these passes). A fused Pallas encode
-    # kernel is the planned round-2 replacement.
-    pos_list, val_list = [], []
+    # Rank-match extraction. Values: EXC_CAP reduction passes (measured
+    # alternatives that LOSE on this TPU: take_along_axis gathers ~10 ms, and
+    # a single reduce over a broadcast [B, S, EXC, 128] expansion — 16x the
+    # VPU compute, ~2x slower). Positions: only 4 passes — each position is
+    # <= 7 bits and the output packs 4 positions per word, so a sample's
+    # position is shifted straight into its output byte (idx << 8*(rank&3))
+    # and summed into word rank>>2. No masking past n_exc is needed anywhere:
+    # ranks only count exceptions, so no sample holds rank >= n_exc and the
+    # unmatched sums are exactly zero.
+    val_list = []
     for j in range(EXC_CAP):
         m = rank8 == jnp.uint8(j)
-        pos_list.append(jnp.sum(jnp.where(m, idx, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
         val_list.append(jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
-    pos = jnp.stack(pos_list, axis=2)   # [B, S, 16]
     vals = jnp.stack(val_list, axis=2)  # [B, S, 16]
 
-    # zero out entries past n_exc, pack positions 4-per-word
-    jj = jnp.arange(EXC_CAP, dtype=jnp.int32)[None, None, :]
-    live = jj < best_exc[:, :, None]
-    pos = jnp.where(live, pos, jnp.uint32(0))
-    vals = jnp.where(live, vals, jnp.uint32(0))
-    pos4 = pos.reshape(B, subs, POS_REGION, 4)
-    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :]
-    pos_words = jnp.sum(pos4 << shifts, axis=3, dtype=jnp.uint32)  # [B, S, 4]
+    byte_sh = (rank8.astype(jnp.uint32) & jnp.uint32(3)) << jnp.uint32(3)
+    pos_contrib = jnp.where(is_exc, idx << byte_sh, jnp.uint32(0))
+    word_id = rank8 >> 2  # u8; 63 for non-exceptions (rank8 == 255)
+    pos_words = jnp.stack(
+        [
+            jnp.sum(
+                jnp.where(word_id == jnp.uint8(m), pos_contrib, jnp.uint32(0)),
+                axis=2,
+                dtype=jnp.uint32,
+            )
+            for m in range(POS_REGION)
+        ],
+        axis=2,
+    )  # [B, S, 4]
 
     # ---- sync table + uniform payload region ----
     entry = (best_b | (best_exc << 6)).astype(jnp.uint32)  # [B, S] u16 values

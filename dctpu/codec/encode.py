@@ -78,7 +78,10 @@ def encode_blocks_body(
     if cfg.coder == "vertical":
         from dctpu.kernels.vertical_xla import encode_vertical
 
-        payload, bit_len = encode_vertical(z, n, L)
+        # backend selects the exception-extraction kernel (the only stage
+        # with a Pallas fast path); everything else is shared XLA.
+        exc = "pallas" if backend.startswith("pallas") else "xla"
+        payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
     else:
         code_lo, code_hi, length = rice.codewords(z, k[:, None])
         payload, bit_len = kernels.pack(

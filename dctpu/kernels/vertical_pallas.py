@@ -92,6 +92,95 @@ def decode_vertical_staged(
     return jnp.where(valid, z, jnp.uint32(0))
 
 
+def _encode_exc_kernel(z_ref, b_ref, pos_ref, val_ref):
+    """Exception extraction with all rank-match passes VMEM-resident.
+
+    Mirrors kernels/vertical_xla.exc_extract_xla bit-for-bit: the XLA version
+    re-reads the [*, 128] high/rank arrays from HBM on every one of the 16+4
+    reduction passes (~20x input traffic, measured ~19 ms of the 25 ms encode
+    at 128 MiB); here z is loaded once per tile and every pass runs on VMEM.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, SUB_BLOCK), 1)
+    z = z_ref[:, :]
+    bi = b_ref[:, :]  # [TR, 1] i32
+    bsh = jnp.minimum(bi, 31).astype(jnp.uint32)
+    high = jnp.where(bi < 32, z >> bsh, jnp.uint32(0))
+    # z is zeroed on invalid lanes, so (z >> b) != 0 <=> bitlen > b & b < 32
+    is_exc = high != jnp.uint32(0)
+    # Kogge-Stone inclusive prefix sum over lanes (Mosaic has no cumsum):
+    # roll right by k and mask the wrapped-around lanes.
+    acc = is_exc.astype(jnp.int32)
+    k = 1
+    while k < SUB_BLOCK:
+        acc = acc + jnp.where(lane >= k, pltpu.roll(acc, k, axis=1), 0)
+        k *= 2
+    rank = acc - 1
+
+    vals = []
+    for j in range(EXC_CAP):
+        m = is_exc & (rank == j)
+        vals.append(
+            jnp.sum(
+                jnp.where(m, high, jnp.uint32(0)),
+                axis=1,
+                keepdims=True,
+                dtype=jnp.uint32,
+            )
+        )
+    val_ref[:, :] = jnp.concatenate(vals, axis=1)
+
+    byte_sh = ((rank & 3) << 3).astype(jnp.uint32)
+    contrib = jnp.where(is_exc, lane.astype(jnp.uint32) << byte_sh, jnp.uint32(0))
+    poss = []
+    for mw in range(POS_REGION):
+        sel = is_exc & ((rank >> 2) == mw)
+        poss.append(
+            jnp.sum(
+                jnp.where(sel, contrib, jnp.uint32(0)),
+                axis=1,
+                keepdims=True,
+                dtype=jnp.uint32,
+            )
+        )
+    pos_ref[:, :] = jnp.concatenate(poss, axis=1)
+
+
+def exc_extract_pallas(
+    zs: jnp.ndarray,      # [B, S, 128] u32, zeroed past each sub-block's count
+    best_b: jnp.ndarray,  # [B, S] i32 selected widths
+    interpret: bool | None = None,
+):
+    """(pos_words [B, S, 4], vals [B, S, 16]); same contract as the XLA path."""
+    if interpret is None:  # auto: compiled on TPU, interpreter elsewhere
+        interpret = jax.default_backend() != "tpu"
+    B, S, _ = zs.shape
+    R = B * S
+    Rp = (R + TR - 1) // TR * TR
+    z_rows = zs.reshape(R, SUB_BLOCK)
+    b_rows = best_b.reshape(R, 1).astype(jnp.int32)
+    if Rp != R:
+        z_rows = jnp.pad(z_rows, ((0, Rp - R), (0, 0)))
+        b_rows = jnp.pad(b_rows, ((0, Rp - R), (0, 0)))
+    pos, vals = pl.pallas_call(
+        _encode_exc_kernel,
+        grid=(Rp // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TR, POS_REGION), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, EXC_CAP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, POS_REGION), jnp.uint32),
+            jax.ShapeDtypeStruct((Rp, EXC_CAP), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(z_rows, b_rows)
+    return pos[:R].reshape(B, S, POS_REGION), vals[:R].reshape(B, S, EXC_CAP)
+
+
 def decode_vertical_pallas(
     regions: jnp.ndarray,  # [R, REGION_WORDS] u32 (R = B*SUBS, staged)
     b: jnp.ndarray,        # [R] i32 widths

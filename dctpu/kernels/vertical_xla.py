@@ -177,57 +177,37 @@ def vertical_total_words(
     return jnp.sum(best_words, axis=-1)
 
 
-def encode_vertical(
-    z: jnp.ndarray,  # [B, L] u32 zigzag values
-    n: jnp.ndarray,  # [B] i32
-    block_len: int,
+def exc_extract_xla(
+    zs: jnp.ndarray,      # [B, S, 128] u32, zeroed past each sub-block's count
+    best_b: jnp.ndarray,  # [B, S] i32 selected widths
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (payload [B, W] u32, bit_len [B] i32). Dense ops only."""
-    B, L = z.shape
-    subs = subs_per_block(block_len)
-    SW = sync_words(block_len)
-    zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
-    pw = _plane_word_counts(block_len)[None, :]  # [1, S]
+    """(pos_words [B, S, 4], vals [B, S, 16]) — pure-XLA rank-match passes.
 
-    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
-    # zs is already zeroed outside `valid`, so zero samples never count as
-    # exceeding any plane; one smear+transpose+popcount pass replaces the
-    # 33-reduction sweep (exceed_counts docstring).
-    best_b, best_words, best_exc = _select_width(exceed_counts(zs), pw)
-    bit_len = 32 * jnp.sum(best_words, axis=1)
-    bitlen = (32 - jax.lax.clz(zs.astype(jnp.int32)).astype(jnp.int32)) * (
-        zs != 0
+    is_exc == (bitlen > b) & (b < 32) == (zs >> b) != 0, since zs is zeroed on
+    invalid lanes. Values: EXC_CAP reduction passes (measured alternatives
+    that LOSE on this TPU: take_along_axis gathers ~10 ms, and a single
+    reduce over a broadcast [B, S, EXC, 128] expansion — 16x the VPU compute,
+    ~2x slower). Positions: only 4 passes — each position is <= 7 bits and
+    the output packs 4 per word, so a sample's position is shifted straight
+    into its output byte (idx << 8*(rank&3)) and summed into word rank>>2.
+    No masking past n_exc is needed anywhere: ranks only count exceptions, so
+    no sample holds rank >= n_exc and the unmatched sums are exactly zero.
+    """
+    bb = best_b[:, :, None].astype(jnp.uint32)
+    high = jnp.where(
+        bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31))
     )
-
-    # ---- bit planes: 32x32 bit-matrix transpose per word group ----
-    zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
-    pw_by_group = bit_transpose32(zg)  # [B, S, 4w, 32p]
-    plane_words = jnp.swapaxes(pw_by_group, 2, 3)  # [B, S, 32p, 4w] p-major
-    plane_region = plane_words.reshape(B, subs, PLANE_REGION)
-
-    # ---- exceptions: rank-match extraction, EXC_CAP dense passes ----
-    # rank8 packs (is_exc, rank) into one u8 read per pass: 255 = not an
-    # exception, else the exception's rank. Gather-free (TPU gathers measured
-    # ~10 ms at this size); per pass traffic is 1 byte (rank8) + 4 (high).
-    is_exc = (bitlen > best_b[:, :, None]) & valid  # [B, S, 128]
+    is_exc = high != jnp.uint32(0)
     rank = jnp.cumsum(is_exc.astype(jnp.int32), axis=2) - 1
     rank8 = jnp.where(is_exc, rank, 255).astype(jnp.uint8)
     idx = jnp.arange(SUB_BLOCK, dtype=jnp.uint32)[None, None, :]
-    bb = best_b[:, :, None].astype(jnp.uint32)
-    high = jnp.where(bb >= 32, jnp.uint32(0), zs >> jnp.minimum(bb, jnp.uint32(31)))
-    # Rank-match extraction. Values: EXC_CAP reduction passes (measured
-    # alternatives that LOSE on this TPU: take_along_axis gathers ~10 ms, and
-    # a single reduce over a broadcast [B, S, EXC, 128] expansion — 16x the
-    # VPU compute, ~2x slower). Positions: only 4 passes — each position is
-    # <= 7 bits and the output packs 4 positions per word, so a sample's
-    # position is shifted straight into its output byte (idx << 8*(rank&3))
-    # and summed into word rank>>2. No masking past n_exc is needed anywhere:
-    # ranks only count exceptions, so no sample holds rank >= n_exc and the
-    # unmatched sums are exactly zero.
+
     val_list = []
     for j in range(EXC_CAP):
         m = rank8 == jnp.uint8(j)
-        val_list.append(jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32))
+        val_list.append(
+            jnp.sum(jnp.where(m, high, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
+        )
     vals = jnp.stack(val_list, axis=2)  # [B, S, 16]
 
     byte_sh = (rank8.astype(jnp.uint32) & jnp.uint32(3)) << jnp.uint32(3)
@@ -244,6 +224,42 @@ def encode_vertical(
         ],
         axis=2,
     )  # [B, S, 4]
+    return pos_words, vals
+
+
+def encode_vertical(
+    z: jnp.ndarray,  # [B, L] u32 zigzag values
+    n: jnp.ndarray,  # [B] i32
+    block_len: int,
+    exc_backend: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (payload [B, W] u32, bit_len [B] i32). Dense ops only."""
+    B, L = z.shape
+    subs = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
+    pw = _plane_word_counts(block_len)[None, :]  # [1, S]
+
+    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
+    # zs is already zeroed outside `valid`, so zero samples never count as
+    # exceeding any plane; one smear+transpose+popcount pass replaces the
+    # 33-reduction sweep (exceed_counts docstring).
+    best_b, best_words, best_exc = _select_width(exceed_counts(zs), pw)
+    bit_len = 32 * jnp.sum(best_words, axis=1)
+
+    # ---- bit planes: 32x32 bit-matrix transpose per word group ----
+    zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
+    pw_by_group = bit_transpose32(zg)  # [B, S, 4w, 32p]
+    plane_words = jnp.swapaxes(pw_by_group, 2, 3)  # [B, S, 32p, 4w] p-major
+    plane_region = plane_words.reshape(B, subs, PLANE_REGION)
+
+    # ---- exceptions: rank-match extraction ----
+    if exc_backend == "pallas":
+        from dctpu.kernels.vertical_pallas import exc_extract_pallas
+
+        pos_words, vals = exc_extract_pallas(zs, best_b)
+    else:
+        pos_words, vals = exc_extract_xla(zs, best_b)
 
     # ---- sync table + uniform payload region ----
     entry = (best_b | (best_exc << 6)).astype(jnp.uint32)  # [B, S] u16 values

@@ -69,7 +69,8 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         comp_bytes = words.nbytes
     else:
         from dctpu.format.frame import payload_word_counts
-        from dctpu.kernels.pack_xla import padded_words
+        from dctpu.kernels.unpack_scan import (
+            buf_bucket, max_sub_bits_host, stage_rice_scan)
 
         t0 = time.time()
         words = capi.compact_payload(np.asarray(enc.payload), bl, L)
@@ -77,16 +78,22 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         wc = payload_word_counts(bl, L)
         off = np.zeros(wc.size + 1, np.int64)
         np.cumsum(wc, out=off[1:])
-        padded = capi.pad_payload(words, off, B, padded_words(L) + 2)
+        t0 = time.time()
+        buf_words = buf_bucket(max_sub_bits_host(words, off, L))
+        padded = stage_rice_scan(words, off, L, buf_words)
+        log(f"[{coder}] host stage: {(time.time()-t0)*1e3:.0f} ms "
+            f"(buf_words={buf_words})")
         comp_bytes = words.nbytes
 
+    dec_backend = "xla" if coder == "vertical" else "scan"
+    dec_buf = 0 if coder == "vertical" else buf_words
     coeffs = jnp.asarray(
         np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64)
     )
     pd = jnp.asarray(padded)
     args = (pd, enc.k, nd, enc.predictor, enc.table_idx, hd, coeffs)
     t0 = time.time()
-    out = decode_blocks(*args, L, True, "xla", coder)
+    out = decode_blocks(*args, L, True, dec_backend, coder, 32, dec_buf)
     _ = np.asarray(out[:1, :1])
     log(f"[{coder}] decode compile+first: {time.time()-t0:.1f}s")
 
@@ -98,7 +105,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         # salt only the zero padding tail words: decode output stays valid
         return decode_blocks_body(
             p.at[:, -1].set(salt), enc.k, nd, enc.predictor, enc.table_idx,
-            hd, coeffs, L, True, "xla", coder)
+            hd, coeffs, L, True, dec_backend, coder, 32, dec_buf)
 
     t0 = time.time()
     dec_t = chained_seconds(dec_stage, (pd,), k=chain)

@@ -132,10 +132,8 @@ def stage_frame_payload(frame) -> Tuple[np.ndarray, str]:
     return pad_payload(frame.payload_words, word_off, B, Wp), "rice"
 
 
-def _stage_block_subset(frame, idx: np.ndarray, coder_id: int) -> np.ndarray:
-    """Stage a subset of blocks (mixed-coder frames): gather the subset's disk
-    words into a compact sub-stream, then stage per the subset's coder."""
-    from dctpu.constants import CODER_VERTICAL
+def _subset_disk_words(frame, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Gather a block subset's disk words into a compact (words, offsets)."""
     from dctpu.format.frame import payload_word_counts
 
     L = frame.block_len
@@ -148,6 +146,15 @@ def _stage_block_subset(frame, idx: np.ndarray, coder_id: int) -> np.ndarray:
         sub_words[sub_off[j] : sub_off[j + 1]] = frame.payload_words[
             word_off[bi] : word_off[bi + 1]
         ]
+    return sub_words, sub_off
+
+
+def _stage_block_subset(frame, idx: np.ndarray, coder_id: int) -> np.ndarray:
+    """Stage a subset of blocks (mixed-coder frames) per the subset's coder."""
+    from dctpu.constants import CODER_VERTICAL
+
+    L = frame.block_len
+    sub_words, sub_off = _subset_disk_words(frame, idx)
     if coder_id == CODER_VERTICAL:
         from dctpu.codec.vertical_host import stage_vertical
 
@@ -252,13 +259,31 @@ def decompress(
     ).reshape(len(frame.tables), 4) if frame.tables else np.zeros((1, 4), np.int64)
 
     xs = np.zeros((B, L), dtype=np.int32)
+    use_scan = backend in (None, "scan")  # shift-buffer decode is the default
     for coder_id in np.unique(coders) if B else []:
         idx = np.nonzero(coders == coder_id)[0]
-        if idx.size == B:
+        coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
+        buf_words = 0
+        grp_backend = backend or "xla"
+        if coder == "rice" and use_scan:
+            from dctpu.kernels.unpack_scan import (
+                buf_bucket,
+                max_sub_bits_host,
+                stage_rice_scan,
+            )
+
+            if idx.size == B:
+                words = frame.payload_words
+                off = frame.blocks.word_offsets(L)
+            else:
+                words, off = _subset_disk_words(frame, idx)
+            buf_words = buf_bucket(max_sub_bits_host(words, off, L))
+            padded = stage_rice_scan(words, off, L, buf_words)
+            grp_backend = "scan"
+        elif idx.size == B:
             padded, coder = stage_frame_payload(frame)
         else:  # mixed-coder frame: stage this coder's subset
             padded = _stage_block_subset(frame, idx, int(coder_id))
-            coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
         max_planes = 32
         if coder == "vertical":
             from dctpu.codec.vertical_host import max_plane_width
@@ -281,9 +306,10 @@ def decompress(
                 coeffs,
                 L,
                 has_lpc,
-                backend or "xla",
+                grp_backend,
                 coder,
                 max_planes,
+                buf_words,
             )
             xs[sel] = np.asarray(out[: c1 - c0])
 

@@ -30,13 +30,16 @@ def decode_blocks_body(
     backend: str = "xla",
     coder: str = "rice",
     max_planes: int = 32,
+    buf_words: int = 0,
 ) -> jnp.ndarray:
     if coder == "vertical":
         from dctpu.kernels.vertical_xla import decode_vertical
 
         z = decode_vertical(payload, n, block_len, max_planes)
     else:
-        z = kernels.unpack(payload, k, n, block_len, backend)  # [B, L] u32
+        z = kernels.unpack(
+            payload, k, n, block_len, backend, buf_words
+        )  # [B, L] u32
     r = rice.unzigzag(z)
     x = predict.reconstruct_all(
         r, history, predictor, table_coeffs, table_idx, has_lpc
@@ -47,5 +50,12 @@ def decode_blocks_body(
 
 decode_blocks = jax.jit(
     decode_blocks_body,
-    static_argnames=("block_len", "has_lpc", "backend", "coder", "max_planes"),
+    static_argnames=(
+        "block_len",
+        "has_lpc",
+        "backend",
+        "coder",
+        "max_planes",
+        "buf_words",
+    ),
 )

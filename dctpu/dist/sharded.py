@@ -57,7 +57,10 @@ def encode_blocks_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "has_lpc", "mesh", "backend", "coder", "max_planes"),
+    static_argnames=(
+        "block_len", "has_lpc", "mesh", "backend", "coder", "max_planes",
+        "buf_words",
+    ),
 )
 def decode_blocks_sharded(
     payload: jnp.ndarray,       # [B, Wp] u32
@@ -73,6 +76,7 @@ def decode_blocks_sharded(
     backend: str = "xla",
     coder: str = "rice",
     max_planes: int = 32,
+    buf_words: int = 0,
 ) -> jnp.ndarray:
     body = functools.partial(
         decode_blocks_body,
@@ -81,6 +85,7 @@ def decode_blocks_sharded(
         backend=backend,
         coder=coder,
         max_planes=max_planes,
+        buf_words=buf_words,
     )
     sharded = shard_map(
         body,
@@ -191,11 +196,29 @@ def decompress_sharded(
     from dctpu.dist.mesh import make_mesh
     from dctpu.kernels.pack_xla import padded_words
 
+    from dctpu.constants import CODER_VERTICAL
+
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
     L = frame.block_len
     B = frame.blocks.num_blocks
-    padded, coder = capi.stage_frame_payload(frame)
+    coders = frame.blocks.coder_arr()
+    rice_frame = not (B and np.any(coders == CODER_VERTICAL))
+    buf_words = 0
+    if rice_frame and backend in (None, "scan"):
+        # shift-buffer decode path (kernels/unpack_scan.py), the default
+        from dctpu.kernels.unpack_scan import (
+            buf_bucket,
+            max_sub_bits_host,
+            stage_rice_scan,
+        )
+
+        off = frame.blocks.word_offsets(L)
+        buf_words = buf_bucket(max_sub_bits_host(frame.payload_words, off, L))
+        padded = stage_rice_scan(frame.payload_words, off, L, buf_words)
+        coder, backend = "rice", "scan"
+    else:
+        padded, coder = capi.stage_frame_payload(frame)
     max_planes = 32
     if coder == "vertical":
         from dctpu.codec.vertical_host import max_plane_width
@@ -228,6 +251,7 @@ def decompress_sharded(
             backend or "xla",
             coder,
             max_planes,
+            buf_words,
         )
         xs[c0:c1] = np.asarray(out[: c1 - c0])
 

@@ -38,8 +38,21 @@ def pack(code_lo, code_hi, length, valid, block_len: int, backend: str | None = 
     raise ValueError(f"unknown kernel backend {backend!r}")
 
 
-def unpack(payload, k, n, block_len: int, backend: str | None = None):
+def unpack(
+    payload,
+    k,
+    n,
+    block_len: int,
+    backend: str | None = None,
+    buf_words: int = 0,
+):
     backend = backend or default_backend()
+    if backend == "scan":
+        # gather-free shift-buffer decode; expects stage_rice_scan rows and a
+        # static per-batch buffer bucket (host-derived from the sync tables)
+        from dctpu.kernels.unpack_scan import unpack_scan
+
+        return unpack_scan(payload, k, n, block_len, buf_words)
     if backend == "xla":
         return unpack_xla(payload, k, n, block_len)
     if backend == "pallas":

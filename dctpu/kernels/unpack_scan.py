@@ -1,0 +1,193 @@
+"""Shift-buffer Rice unpacker: gather-free decode scan (TPU fast path).
+
+Same DCF1 §2/§2.1 bitstream as kernels/unpack_xla.py, different machine
+mapping. unpack_xla keeps a per-lane *bit pointer* and re-fetches 3 payload
+words per scan step with take_along_axis — on this TPU those gathers lower to
+~10ns/element serial loops (SURVEY.md round-1 measurement), which is why Rice
+decode measured 0.13 GB/s. Here each 128-sample sub-block instead carries its
+whole remaining bitstream as scan state (a [B, S, UB] u32 shift buffer):
+
+  stage (host):  word-granular copy of each sub-block's payload span into a
+                 fixed [UB+1]-word slot (dctpu.codec.api staging, same
+                 ragged-on-host pattern as the VERTICAL coder).
+  align (device, once): funnel-shift by the sub-block's bit offset mod 32 so
+                 buffer bit 0 == first code bit. Dense; offsets come from the
+                 sync table.
+  scan (device, 128 steps): decode one codeword per lane from buffer words
+                 0-1, then funnel-shift the whole buffer down by its length.
+                 Every op is an elementwise u32 shift/or/where — no gathers.
+
+UB (buffer words) is a static bucket chosen per batch from the sync tables'
+max sub-block bit length, so the O(UB) per-step shift cost tracks the data's
+actual compressed size instead of the 192-word worst case.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dctpu.constants import (
+    ESCAPE_Q,
+    MAX_CODE_BITS,
+    SUB_BLOCK,
+    subs_per_block,
+    sync_words,
+)
+from dctpu.kernels.unpack_xla import _trailing_ones, read_sync_table
+
+# Static buffer-size buckets (words); 192 = ceil(128*48/32) is the format's
+# worst case (all-escape sub-block). Bucketing bounds recompiles.
+BUF_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192)
+
+
+def buf_bucket(max_sub_bits: int) -> int:
+    need = max(3, (int(max_sub_bits) + 31) // 32)
+    for b in BUF_BUCKETS:
+        if need <= b:
+            return b
+    return BUF_BUCKETS[-1]
+
+
+# ------------------------------------------------------------ host staging
+
+
+def _sync_sub_lens_host(
+    disk_words: np.ndarray, word_off: np.ndarray, block_len: int
+) -> np.ndarray:
+    """Per-sub-block code bit lengths [B, S] from each block's sync table."""
+    B = word_off.size - 1
+    S = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    if B == 0:
+        return np.zeros((0, S), np.int64)
+    idx = word_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
+    sync = np.ascontiguousarray(disk_words[idx], dtype="<u4")
+    u16 = sync.view("<u2").reshape(B, -1)[:, :S]
+    return u16.astype(np.int64)
+
+
+def max_sub_bits_host(
+    disk_words: np.ndarray, word_off: np.ndarray, block_len: int
+) -> int:
+    lens = _sync_sub_lens_host(disk_words, word_off, block_len)
+    return int(lens.max()) if lens.size else 0
+
+
+def stage_rice_scan(
+    disk_words: np.ndarray,
+    word_off: np.ndarray,  # [B+1] per-block disk word offsets
+    block_len: int,
+    buf_words: int,
+) -> np.ndarray:
+    """Disk words -> [B, SW + S*(UB+1)] staged rows for unpack_scan.
+
+    Row layout: [sync table | sub 0: UB+1 raw words | sub 1 | ...] where each
+    sub's raw words start at the u32 containing its first code bit (bit-level
+    alignment happens on device). Word-granular copies only — no host bit math.
+    """
+    B = word_off.size - 1
+    S = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    UB1 = buf_words + 1
+    out = np.zeros((B, SW + S * UB1), dtype=np.uint32)
+    if B == 0 or disk_words.size == 0:
+        return out
+    sync_idx = word_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
+    out[:, :SW] = disk_words[sync_idx]
+    sub_lens = _sync_sub_lens_host(disk_words, word_off, block_len)
+    boff = SW * 32 + np.cumsum(sub_lens, axis=1) - sub_lens  # [B, S] bits
+    start = word_off[:B, None] + (boff >> 5)
+    idx = start[:, :, None] + np.arange(UB1, dtype=np.int64)[None, None, :]
+    np.clip(idx, 0, disk_words.size - 1, out=idx)
+    out[:, SW:] = disk_words[idx.reshape(B, -1)]
+    return out
+
+
+def staged_width(block_len: int, buf_words: int) -> int:
+    return sync_words(block_len) + subs_per_block(block_len) * (buf_words + 1)
+
+
+# ------------------------------------------------------------ device kernel
+
+
+def _funnel_arr(lo: jnp.ndarray, hi: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """(lo >> s) | (hi << (32-s)) elementwise, s in [0, 32)."""
+    hi_part = jnp.where(
+        s == 0, jnp.uint32(0), hi << ((jnp.uint32(32) - s) & jnp.uint32(31))
+    )
+    return (lo >> s) | hi_part
+
+
+def unpack_scan(
+    staged: jnp.ndarray,  # [B, SW + S*(UB+1)] u32 (stage_rice_scan rows)
+    k: jnp.ndarray,       # [B] i32
+    n: jnp.ndarray,       # [B] i32 valid samples
+    block_len: int,
+    buf_words: int,
+) -> jnp.ndarray:
+    """Returns z [B, L] uint32 (zeros past n). No gathers anywhere."""
+    B = staged.shape[0]
+    L = block_len
+    SW = sync_words(L)
+    subs = subs_per_block(L)
+    UB = buf_words
+    T = min(SUB_BLOCK, L)
+
+    sub_lens = read_sync_table(staged, L)  # [B, S] i32
+    boff = jnp.cumsum(sub_lens, axis=1) - sub_lens + SW * 32
+    s0 = (boff & 31).astype(jnp.uint32)[:, :, None]  # in-word bit offset
+
+    raw = staged[:, SW:].reshape(B, subs, UB + 1)
+    buf = _funnel_arr(raw[:, :, :UB], raw[:, :, 1:], s0)  # bit 0 = code bit 0
+
+    # valid samples per sub-block
+    sub_start = jnp.arange(subs, dtype=jnp.int32) * SUB_BLOCK
+    cap = jnp.minimum(jnp.int32(T), jnp.int32(L) - sub_start)
+    n_sub = jnp.clip(n[:, None] - sub_start[None, :], 0, cap[None, :])
+
+    ku = k.astype(jnp.uint32)[:, None]
+    kmask = (jnp.uint32(1) << ku) - jnp.uint32(1)
+    ki = k.astype(jnp.int32)[:, None]
+    zero_col = jnp.zeros((B, subs, 1), jnp.uint32)
+
+    def step(buf, t):
+        w0 = buf[:, :, 0]
+        w1 = buf[:, :, 1]
+        ones = _trailing_ones(w0)
+        esc = ones >= ESCAPE_Q
+        q = jnp.minimum(ones, ESCAPE_Q - 1).astype(jnp.uint32)
+
+        # k remainder bits start at bit q+1 (q <= 15, so the 32-bit window
+        # (w0 >> (q+1)) | (w1 << (31-q)) holds all of them for k <= 30).
+        v = (w0 >> (q + jnp.uint32(1))) | (w1 << (jnp.uint32(31) - q))
+        z_norm = (q << ku) | (v & kmask)
+        z_esc = (w0 >> jnp.uint32(ESCAPE_Q)) | (w1 << jnp.uint32(32 - ESCAPE_Q))
+        z = jnp.where(esc, z_esc, z_norm)
+
+        length = jnp.where(esc, MAX_CODE_BITS, q.astype(jnp.int32) + 1 + ki)
+        active = t < n_sub
+        z = jnp.where(active, z, jnp.uint32(0))
+        length = jnp.where(active, length, 0)
+
+        # shift the whole buffer down by `length` bits (<= 48: word step d
+        # is 0 or 1, then a sub-word funnel by length mod 32)
+        d1 = (length >= 32)[:, :, None]
+        s2 = (length & 31).astype(jnp.uint32)[:, :, None]
+        b1 = jnp.concatenate([buf[:, :, 1:], zero_col], axis=2)
+        b2 = jnp.concatenate([buf[:, :, 2:], zero_col, zero_col], axis=2)
+        lo = jnp.where(d1, b1, buf)
+        hi = jnp.where(d1, b2, b1)
+        buf = _funnel_arr(lo, hi, s2)
+        return buf, z
+
+    _, zs = jax.lax.scan(step, buf, jnp.arange(T, dtype=jnp.int32))
+    z = jnp.moveaxis(zs, 0, 2)  # [B, S, T]
+
+    if subs == 1:
+        return z[:, 0, :L]
+    last_cap = L - SUB_BLOCK * (subs - 1)
+    body = z[:, :-1, :].reshape(B, -1)
+    tail = z[:, -1, :last_cap]
+    return jnp.concatenate([body, tail], axis=1)

@@ -43,6 +43,14 @@ def choose_k(z: jnp.ndarray, valid: jnp.ndarray, k_max: int = K_MAX) -> Tuple[jn
     z: [..., L] uint32, valid: [..., L] bool. Returns (k [...], bits [...]).
     Ties choose the smallest k (argmin returns the first minimum).
     """
+    # The packed-key min below encodes (totals, k) as totals*32 + k. That is
+    # only injective/ordered while k fits in 5 bits and totals*32 fits in
+    # int31: totals <= L * MAX_CODE_BITS, so L is bounded accordingly.
+    assert k_max < 32, f"packed key holds 5 bits of k; k_max={k_max}"
+    L = z.shape[-1]
+    assert L * MAX_CODE_BITS < 2**26, (
+        f"packed key needs totals*32 < 2^31: block_len={L} too large"
+    )
     ks = jnp.arange(k_max + 1, dtype=jnp.uint32)  # [K+1]
     # One reduction per k laid out [..., K+1, L] so the reduced (sample) axis
     # is MINOR — XLA fuses the per-k length math into the reduce; a non-minor

@@ -194,7 +194,6 @@ def decompress_sharded(
     from dctpu.codec import api as capi
     from dctpu.constants import LPC
     from dctpu.dist.mesh import make_mesh
-    from dctpu.kernels.pack_xla import padded_words
 
     from dctpu.constants import CODER_VERTICAL
 

@@ -44,10 +44,18 @@ BUF_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192)
 
 def buf_bucket(max_sub_bits: int) -> int:
     need = max(3, (int(max_sub_bits) + 31) // 32)
+    if need > BUF_BUCKETS[-1]:
+        # 192 words == 128 * MAX_CODE_BITS bits is the format's normative
+        # worst case; anything larger means a corrupt sync table. Failing
+        # here beats silently decoding garbage from a clamped buffer.
+        raise ValueError(
+            f"sync table claims a {max_sub_bits}-bit sub-block; format max "
+            f"is {SUB_BLOCK * MAX_CODE_BITS}"
+        )
     for b in BUF_BUCKETS:
         if need <= b:
             return b
-    return BUF_BUCKETS[-1]
+    raise AssertionError("unreachable")
 
 
 # ------------------------------------------------------------ host staging
@@ -99,9 +107,17 @@ def stage_rice_scan(
     sub_lens = _sync_sub_lens_host(disk_words, word_off, block_len)
     boff = SW * 32 + np.cumsum(sub_lens, axis=1) - sub_lens  # [B, S] bits
     start = word_off[:B, None] + (boff >> 5)
-    idx = start[:, :, None] + np.arange(UB1, dtype=np.int64)[None, None, :]
-    np.clip(idx, 0, disk_words.size - 1, out=idx)
-    out[:, SW:] = disk_words[idx.reshape(B, -1)]
+    # Chunk over blocks so the [Bc, S, UB+1] transient index array stays
+    # bounded (~16 MB) instead of materializing B*S*(UB+1) int64 at once
+    # (~400 MB at the bench geometry); int32 indices when the word count fits.
+    idt = np.int32 if disk_words.size < 2**31 else np.int64
+    span = np.arange(UB1, dtype=idt)[None, None, :]
+    chunk = max(1, (4 << 20) // max(1, S * UB1))
+    for c0 in range(0, B, chunk):
+        c1 = min(c0 + chunk, B)
+        idx = start[c0:c1, :, None].astype(idt) + span
+        np.clip(idx, 0, disk_words.size - 1, out=idx)
+        out[c0:c1, SW:] = disk_words[idx.reshape(c1 - c0, -1)]
     return out
 
 

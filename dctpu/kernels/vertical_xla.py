@@ -128,6 +128,10 @@ def _select_width(
     """
     b_axis = jnp.arange(33, dtype=jnp.int32)
     words = pw[..., None] * b_axis + (n_exc_all + 3) // 4 + n_exc_all
+    # Real word counts are <= PW*32 + 4 + 16 = 148 << 2^24, so the sentinel
+    # dominates every legal width and the packed key below stays in int31
+    # (words*64 + b < 2^31 requires words < 2^25; the sentinel is 2^24).
+    assert PLANE_REGION + POS_REGION + VAL_REGION < (1 << 24)
     words = jnp.where(n_exc_all <= EXC_CAP, words, jnp.int32(1 << 24))
     # Single min over a packed (words, b) key — ties pick the smallest b; the
     # one-hot re-select avoids take_along_axis (TPU gathers cost ~ms here).

@@ -80,3 +80,13 @@ def test_staging_matches_sync(rng):
     SW = sync_words(512)
     first = frame.payload_words[off[0] : off[0] + SW]
     assert np.array_equal(staged[0, :SW], first)
+
+
+def test_buf_bucket_rejects_corrupt_sync():
+    # 6144 bits = 128 * MAX_CODE_BITS is the normative worst case; anything
+    # above it can only come from a corrupt sync table and must fail loudly.
+    import pytest
+
+    assert buf_bucket(128 * 48) == 192
+    with pytest.raises(ValueError):
+        buf_bucket(128 * 48 + 1)

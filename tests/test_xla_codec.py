@@ -58,3 +58,21 @@ def test_xla_escape_heavy(rng):
 def test_xla_empty_and_tiny():
     streams = [np.zeros(0, np.int32), np.array([42], np.int32), np.arange(3, dtype=np.int32)]
     _assert_frames_equal(streams, CodecConfig())
+
+
+def test_choose_k_packed_key_bounds():
+    # The packed-key idiom in rice.choose_k is only valid while
+    # L * MAX_CODE_BITS < 2^26 and k_max < 32; both must be enforced.
+    import jax.numpy as jnp
+    import pytest
+
+    from dctpu.codec import rice
+
+    z = jnp.zeros((1, 4096), jnp.uint32)
+    valid = jnp.ones((1, 4096), bool)
+    rice.choose_k(z, valid, 24)  # largest supported default geometry: fine
+    with pytest.raises(AssertionError):
+        rice.choose_k(z, valid, 32)
+    zbig = jnp.zeros((1, 2**26 // 48 + 64), jnp.uint32)
+    with pytest.raises(AssertionError):
+        rice.choose_k(zbig, jnp.ones(zbig.shape, bool), 24)

@@ -120,8 +120,11 @@ def main(argv=None):
             sp.add_argument("input")
         sp.add_argument("--block-len", type=int, default=4096)
         sp.add_argument("--predictors", default="delta,dd,lpc")
-        sp.add_argument("--coder", default="rice", choices=["rice", "vertical"],
-                        help="rice = max ratio, vertical = max throughput")
+        sp.add_argument("--coder", default="adaptive",
+                        choices=["rice", "vertical", "adaptive"],
+                        help="rice = classic Rice frames, vertical = max "
+                        "throughput, adaptive = per-block best of both "
+                        "(FORMAT §4.1, default)")
         sp.add_argument("--sharded", action="store_true",
                         help="shard over all local devices")
 

@@ -172,6 +172,144 @@ def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
 # ------------------------------------------------------------ public API
 
 
+def _stream_metas(streams, stream_ids, cadences, nb, first):
+    return [
+        StreamMeta(
+            stream_id=int(stream_ids[si]) if stream_ids is not None else si,
+            cadence_s=int(cadences[si]) if cadences is not None else 900,
+            num_samples=int(np.asarray(streams[si]).size),
+            num_blocks=int(nb[si]),
+            first_block=int(first[si]),
+        )
+        for si in range(len(streams))
+    ]
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _compress_adaptive(
+    streams: Sequence[np.ndarray],
+    cfg: CodecConfig,
+    stream_ids,
+    cadences,
+    chunk_blocks: int,
+    backend: str | None,
+    select_fn=None,
+    emit_fn=None,
+    round_to: int = 1,
+) -> Frame:
+    """Adaptive per-block coder (FORMAT §4.1): select on device, group by
+    coder on the host, emit each group with static shapes, interleave the
+    compact payloads back into block-table order.
+
+    select_fn/emit_fn default to the single-device jits; dist.sharded passes
+    shard_map-wrapped ones (round_to pads batches to the mesh size).
+    """
+    from dctpu.codec.encode import adaptive_select, emit_blocks
+    from dctpu.constants import CODER_VERTICAL, LPC as _LPC
+
+    select_fn = select_fn or (
+        lambda x, n, h: adaptive_select(x, n, h, cfg)
+    )
+    emit_fn = emit_fn or (
+        lambda x, n, h, ch, k, coder: emit_blocks(
+            x, n, h, ch, k, cfg, coder, backend or "xla"
+        )
+    )
+    chunk_blocks = _round_up(chunk_blocks, round_to)
+
+    L = cfg.block_len
+    x, n, hist, nb, first = build_blocks(streams, L)
+    B = x.shape[0]
+
+    choice = np.zeros(B, np.int32)
+    coder = np.zeros(B, np.int32)
+    kk = np.zeros(B, np.int32)
+    for c0 in range(0, B, chunk_blocks):
+        c1 = min(c0 + chunk_blocks, B)
+        size = chunk_blocks if B > chunk_blocks else _round_up(B, round_to)
+        ch, cd, kv = select_fn(
+            _pad_chunk(x[c0:c1], size),
+            _pad_chunk(n[c0:c1], size),
+            _pad_chunk(hist[c0:c1], size),
+        )
+        m = c1 - c0
+        choice[c0:c1] = np.asarray(ch[:m])
+        coder[c0:c1] = np.asarray(cd[:m])
+        kk[c0:c1] = np.asarray(kv[:m])
+
+    bit_len = np.zeros(B, np.uint32)
+    wc = np.zeros(B, np.int64)  # compact payload words per block
+    group_payloads = {}  # gid -> concatenated compact words, idx order
+    for gid, gname in ((0, "rice"), (1, "vertical")):
+        idx = np.nonzero(coder == gid)[0]
+        if idx.size == 0:
+            continue
+        parts = []
+        G = idx.size
+        for c0 in range(0, G, chunk_blocks):
+            sel = idx[c0 : min(c0 + chunk_blocks, G)]
+            size = chunk_blocks if G > chunk_blocks else _round_up(G, round_to)
+            enc = emit_fn(
+                _pad_chunk(x[sel], size),
+                _pad_chunk(n[sel], size),
+                _pad_chunk(hist[sel], size),
+                _pad_chunk(choice[sel], size),
+                _pad_chunk(kk[sel], size),
+                gname,
+            )
+            m = sel.size
+            bl = np.asarray(enc.bit_len[:m])
+            bit_len[sel] = bl
+            if gname == "vertical":
+                from dctpu.codec.vertical_host import compact_vertical
+
+                words, wcb = compact_vertical(np.asarray(enc.payload[:m]), L)
+                wc[sel] = wcb
+            else:
+                words = compact_payload(np.asarray(enc.payload[:m]), bl, L)
+                wc[sel] = payload_word_counts(bl, L)
+            parts.append(words)
+        group_payloads[gid] = np.concatenate(parts)
+
+    # Interleave group payloads into block-table order (vectorized scatter).
+    off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(wc, out=off[1:])
+    out = np.zeros(int(off[-1]), dtype=np.uint32)
+    for gid, words in group_payloads.items():
+        idx = np.nonzero(coder == gid)[0]
+        wcg = wc[idx]
+        src_off = np.zeros(idx.size + 1, dtype=np.int64)
+        np.cumsum(wcg, out=src_off[1:])
+        blk = np.repeat(np.arange(idx.size, dtype=np.int64), wcg)
+        pos = np.arange(int(src_off[-1]), dtype=np.int64) - src_off[blk]
+        out[off[idx[blk]] + pos] = words
+
+    cands = cfg.candidates()
+    pred_map = np.array([p for p, _ in cands], dtype=np.uint8)
+    ti_map = np.array(
+        [ti if p == _LPC else 0 for p, ti in cands], dtype=np.uint8
+    )
+    blocks = BlockHeaders(
+        predictor=pred_map[choice],
+        k=kk.astype(np.uint8),
+        n=n.astype(np.uint16),
+        bit_len=bit_len,
+        table_idx=ti_map[choice],
+        history=hist,
+        coder=coder.astype(np.uint8),
+    )
+    return Frame(
+        block_len=L,
+        streams=_stream_metas(streams, stream_ids, cadences, nb, first),
+        blocks=blocks,
+        tables=cfg.lpc_tables,
+        payload_words=out,
+    )
+
+
 def compress(
     streams: Sequence[np.ndarray],
     cfg: CodecConfig | None = None,
@@ -181,6 +319,10 @@ def compress(
     backend: str | None = None,
 ) -> Frame:
     cfg = cfg or CodecConfig()
+    if cfg.coder == "adaptive":
+        return _compress_adaptive(
+            streams, cfg, stream_ids, cadences, chunk_blocks, backend
+        )
     L = cfg.block_len
     x, n, hist, nb, first = build_blocks(streams, L)
     B = x.shape[0]

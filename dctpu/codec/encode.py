@@ -93,3 +93,99 @@ def encode_blocks_body(
 encode_blocks = jax.jit(
     encode_blocks_body, static_argnames=("cfg", "backend")
 )
+
+
+# --------------------------------------------------- adaptive coder (§4.1)
+
+
+def adaptive_select_body(
+    x: jnp.ndarray,        # [B, L] int32
+    n: jnp.ndarray,        # [B] int32
+    history: jnp.ndarray,  # [B, 4] int32
+    cfg: CodecConfig,
+):
+    """FORMAT §4.1 joint (candidate, coder) selection by exact word count.
+
+    Returns (choice [B] i32 candidate index, coder [B] i32 0=RICE/1=VERTICAL,
+    k [B] i32). Option order c0-RICE, c0-VERT, c1-RICE, ... with first-wins
+    argmin implements the normative tie-break.
+    """
+    from dctpu.kernels.vertical_xla import vertical_total_words
+
+    B, L = x.shape
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
+    r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
+    z_all = rice.zigzag(r_all)
+    C = z_all.shape[0]
+
+    k_c, bits_c = rice.choose_k(z_all, valid[None], cfg.k_max)  # [C, B]
+    rw_c = (bits_c + 31) // 32
+    vw_c = vertical_total_words(z_all, valid[None], L)          # [C, B]
+    opts = jnp.stack([rw_c, vw_c], axis=1).reshape(2 * C, B)
+    o = jnp.argmin(opts, axis=0).astype(jnp.int32)  # first minimum wins
+    choice = o >> 1
+    coder = o & 1
+
+    c_axis = jnp.arange(C, dtype=jnp.int32)
+    oh = c_axis[:, None] == choice[None, :]
+    k = jnp.sum(jnp.where(oh, k_c, 0), axis=0)
+    k = jnp.where(coder == 0, k, 0).astype(jnp.int32)
+    return choice, coder, k
+
+
+adaptive_select = jax.jit(adaptive_select_body, static_argnames=("cfg",))
+
+
+def emit_blocks_body(
+    x: jnp.ndarray,        # [B, L] int32
+    n: jnp.ndarray,        # [B] int32
+    history: jnp.ndarray,  # [B, 4] int32
+    choice: jnp.ndarray,   # [B] i32 forced candidate index
+    k: jnp.ndarray,        # [B] i32 forced Rice k (ignored for vertical)
+    cfg: CodecConfig,
+    coder: str,            # static: "rice" | "vertical" for this group
+    backend: str = "xla",
+) -> EncodedBlocks:
+    """Emit blocks with a host-forced (candidate, k) selection.
+
+    Second phase of adaptive encoding: the host groups blocks by the coder
+    chosen in adaptive_select and emits each group with static shapes.
+    """
+    B, L = x.shape
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
+    cands = cfg.candidates()
+    r_all = predict.all_candidate_residuals(x, history, cfg)
+    z_all = rice.zigzag(r_all)
+    C = len(cands)
+    c_axis = jnp.arange(C, dtype=jnp.int32)
+
+    def _pick(arr_c, sel):
+        oh = c_axis[:, None] == sel[None, :]
+        oh = oh.reshape(oh.shape + (1,) * (arr_c.ndim - 2))
+        return jnp.sum(jnp.where(oh, arr_c, 0), axis=0, dtype=arr_c.dtype)
+
+    z = _pick(z_all, choice)
+    pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
+    tidx_ids = jnp.array(
+        [ti if p == LPC else 0 for p, ti in cands], dtype=jnp.int32
+    )
+    predictor = _pick(pred_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
+    table_idx = _pick(tidx_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
+
+    if coder == "vertical":
+        from dctpu.kernels.vertical_xla import encode_vertical
+
+        exc = "pallas" if backend.startswith("pallas") else "xla"
+        payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
+        k = jnp.zeros(B, jnp.int32)
+    else:
+        code_lo, code_hi, length = rice.codewords(z, k[:, None])
+        payload, bit_len = kernels.pack(
+            code_lo, code_hi, length, valid, L, backend
+        )
+    return EncodedBlocks(predictor, k, table_idx, bit_len, payload)
+
+
+emit_blocks = jax.jit(
+    emit_blocks_body, static_argnames=("cfg", "coder", "backend")
+)

@@ -203,6 +203,30 @@ def scalar_encode_block(
         bit_len, payload = vertical_encode_block(z, cfg.block_len)
         return pred, 0, ti, CODER_VERTICAL, bit_len, payload
 
+    if cfg.coder == "adaptive":
+        # FORMAT §4.1: exact word count over (candidate, coder) pairs in
+        # c0-RICE, c0-VERTICAL, c1-RICE, ... order; first minimum wins.
+        best = None  # (words, predictor, table_idx, coder, k, z)
+        for ci, (pred, ti) in enumerate(cfg.candidates()):
+            table = cfg.lpc_tables[ti] if pred == LPC else None
+            z = zigzag(residuals(x, history, pred, table))
+            ti_eff = ti if pred == LPC else 0
+            k, bits = choose_k(z, cfg.k_max)
+            rw = (bits + 31) // 32
+            if best is None or rw < best[0]:
+                best = (rw, pred, ti_eff, CODER_RICE, k, z)
+            vw = vertical_block_words(z, x.size, cfg.block_len)
+            if vw < best[0]:
+                best = (vw, pred, ti_eff, CODER_VERTICAL, 0, z)
+        _w, pred, ti, cd, k, z = best
+        if cd == CODER_VERTICAL:
+            bit_len, payload = vertical_encode_block(z, cfg.block_len)
+            return pred, 0, ti, CODER_VERTICAL, bit_len, payload
+        codes = [rice_codeword(int(zv), k) for zv in z]
+        words, bit_len = pack_bits(codes)
+        sync = sync_table([ln for _, ln in codes], cfg.block_len)
+        return pred, k, ti, CODER_RICE, bit_len, np.concatenate([sync, words])
+
     best = None  # (bits, cand_idx, predictor, table_idx, k, z)
     for ci, (pred, ti) in enumerate(cfg.candidates()):
         table = cfg.lpc_tables[ti] if pred == LPC else None
@@ -353,6 +377,20 @@ def vertical_block_cost(z: np.ndarray, n: int, block_len: int) -> int:
     """Predictor-selection proxy cost under VERTICAL (FORMAT §2.2):
     sum of bitlengths of the valid zigzag values."""
     return int(bitlength(z[:n]).sum())
+
+
+def vertical_block_words(z: np.ndarray, n: int, block_len: int) -> int:
+    """Exact VERTICAL coded word count for one block (FORMAT §4.1 VW)."""
+    total = 0
+    for s, cap in enumerate(sub_caps(block_len)):
+        count = min(cap, max(0, n - s * SUB_BLOCK))
+        if count == 0:
+            break
+        zz = np.zeros(cap, dtype=np.uint32)
+        zz[:count] = z[s * SUB_BLOCK : s * SUB_BLOCK + count]
+        _b, words = vertical_sub_cost_words(zz, cap)
+        total += words
+    return total
 
 
 def vertical_decode_block(

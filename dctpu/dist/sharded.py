@@ -101,6 +101,55 @@ def decode_blocks_sharded(
     return sharded(payload, k, n, predictor, table_idx, history, table_coeffs)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def adaptive_select_sharded(
+    x: jnp.ndarray, n: jnp.ndarray, history: jnp.ndarray,
+    cfg: CodecConfig, mesh: Mesh,
+):
+    """shard_map wrapper of the FORMAT §4.1 (candidate, coder) selection."""
+    from dctpu.codec.encode import adaptive_select_body
+
+    body = functools.partial(adaptive_select_body, cfg=cfg)
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(STREAMS_AXIS, None), P(STREAMS_AXIS), P(STREAMS_AXIS, None)),
+        out_specs=(P(STREAMS_AXIS), P(STREAMS_AXIS), P(STREAMS_AXIS)),
+        check_vma=False,
+    )
+    return sharded(x, n, history)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "coder", "mesh", "backend")
+)
+def emit_blocks_sharded(
+    x: jnp.ndarray, n: jnp.ndarray, history: jnp.ndarray,
+    choice: jnp.ndarray, k: jnp.ndarray,
+    cfg: CodecConfig, coder: str, mesh: Mesh, backend: str = "xla",
+) -> EncodedBlocks:
+    """shard_map wrapper of the forced-selection group emission (§4.1)."""
+    from dctpu.codec.encode import emit_blocks_body
+
+    body = functools.partial(
+        emit_blocks_body, cfg=cfg, coder=coder, backend=backend
+    )
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(STREAMS_AXIS, None), P(STREAMS_AXIS), P(STREAMS_AXIS, None),
+            P(STREAMS_AXIS), P(STREAMS_AXIS),
+        ),
+        out_specs=EncodedBlocks(
+            P(STREAMS_AXIS), P(STREAMS_AXIS), P(STREAMS_AXIS),
+            P(STREAMS_AXIS), P(STREAMS_AXIS, None),
+        ),
+        check_vma=False,
+    )
+    return sharded(x, n, history, choice, k)
+
+
 # ------------------------------------------------------------ host wrappers
 
 
@@ -125,6 +174,19 @@ def compress_sharded(
     cfg = cfg or CodecConfig()
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
+    if cfg.coder == "adaptive":
+        return capi._compress_adaptive(
+            streams, cfg, stream_ids, cadences, chunk_blocks, backend,
+            select_fn=lambda x, n, h: adaptive_select_sharded(
+                jnp.asarray(x), jnp.asarray(n), jnp.asarray(h), cfg, mesh
+            ),
+            emit_fn=lambda x, n, h, ch, k, coder: emit_blocks_sharded(
+                jnp.asarray(x), jnp.asarray(n), jnp.asarray(h),
+                jnp.asarray(ch), jnp.asarray(k),
+                cfg, coder, mesh, backend or "xla",
+            ),
+            round_to=ndev,
+        )
     L = cfg.block_len
     x, n, hist, nb, first = capi.build_blocks(streams, L)
     B = x.shape[0]

@@ -247,6 +247,7 @@ struct EncodeConfig {
   bool use_dd = true;
   bool use_lpc = true;
   Coder coder = CODER_RICE;
+  bool adaptive = false;  // FORMAT §4.1: per-block coder by exact words
 };
 
 // --------------------------------------------------- vertical coder (FORMAT §2.2)
@@ -275,6 +276,19 @@ static void vertical_choose_b(const uint32_t* z, int count, uint32_t cap,
       *best_b = b;
     }
   }
+}
+
+// Exact VERTICAL coded word count for one block (FORMAT §4.1 VW).
+static uint64_t vertical_block_words(const uint32_t* z, int n, uint32_t L) {
+  uint64_t total = 0;
+  for (uint32_t s = 0; s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
+    uint32_t cap = sub_cap(L, s);
+    int count = std::min<int>(cap, n - s * SUB_BLOCK);
+    uint32_t b, words;
+    vertical_choose_b(z + s * SUB_BLOCK, count, cap, &b, &words);
+    total += words;
+  }
+  return total;
 }
 
 // Predictor-selection proxy (FORMAT §2.2): sum of bitlengths of valid z.
@@ -378,6 +392,33 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
   if (cfg.use_lpc)
     for (int ti = 0; ti < kNumDefaultTables; ti++) cands.push_back({LPC, ti});
 
+  Coder emit_coder = cfg.coder;
+  if (cfg.adaptive) {
+    // FORMAT §4.1: exact word count over (candidate, coder) pairs, order
+    // c0-RICE, c0-VERTICAL, c1-RICE, ...; strict < implements first-wins.
+    uint64_t best_words = ~0ull;
+    for (const Cand& c : cands) {
+      const LpcTable* table = c.p == LPC ? &kDefaultTables[c.ti] : nullptr;
+      residuals(x, n, h, c.p, table, r.data());
+      for (int t = 0; t < n; t++) z[t] = zigzag(r[t]);
+      int k; uint64_t bits;
+      choose_k(z.data(), n, &k, &bits);
+      uint64_t rw = (bits + 31) / 32;
+      if (rw < best_words) {
+        best_words = rw; emit_coder = CODER_RICE;
+        best_bits = bits; best_k = k; best_pred = c.p;
+        best_ti = c.p == LPC ? c.ti : 0;
+        best_z = z;
+      }
+      uint64_t vw = vertical_block_words(z.data(), n, cfg.block_len);
+      if (vw < best_words) {
+        best_words = vw; emit_coder = CODER_VERTICAL;
+        best_pred = c.p;
+        best_ti = c.p == LPC ? c.ti : 0;
+        best_z = z;
+      }
+    }
+  } else {
   for (const Cand& c : cands) {
     const LpcTable* table = c.p == LPC ? &kDefaultTables[c.ti] : nullptr;
     residuals(x, n, h, c.p, table, r.data());
@@ -399,8 +440,9 @@ static void encode_block(const int32_t* x, int n, const int32_t* h,
       best_z = z;
     }
   }
+  }
 
-  if (cfg.coder == CODER_VERTICAL) {
+  if (emit_coder == CODER_VERTICAL) {
     // Pad candidate z to block_len-extent access (vertical indexes by sub).
     uint32_t bl;
     vertical_emit_block(best_z.data(), n, cfg.block_len, bw.words, &bl);
@@ -702,6 +744,7 @@ int main(int argc, char** argv) {
     else if (a == "--no-lpc") cfg.use_lpc = false;
     else if (a == "--coder" && i + 1 < argc) {
       std::string c = argv[++i];
+      cfg.adaptive = (c == "adaptive");
       cfg.coder = (c == "vertical") ? CODER_VERTICAL : CODER_RICE;
     }
     else if (a == "--no-dd") cfg.use_dd = false;

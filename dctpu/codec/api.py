@@ -176,37 +176,59 @@ def _pad_chunk(arr: np.ndarray, size: int) -> np.ndarray:
 def compact_enc_payload_device(
     payload_dev, bit_len: np.ndarray, block_len: int, coder: str
 ) -> np.ndarray:
-    """Device-side payload compaction: fetch only exact compressed words.
+    """Device-side payload compaction: fetch ~compressed-size bytes only.
 
     payload_dev: the [B, W] device rows straight from encode (NOT fetched).
-    bit_len: host array for the REAL blocks only (padding rows excluded;
-    they sort after all real blocks, so slicing the exact prefix drops any
-    dummy sync words the vertical path emits for them).
-    The gather output is worst-case padded (static shape, one compile per
-    geometry); the host slices the exact prefix so only compressed bytes
-    cross the link (VERDICT round 1 item 2; ~156 MB -> ~36 MB at the 128 MiB
-    bench point).
+    bit_len: host array for the REAL blocks only (padding rows, which sort
+    after all real blocks, are excluded by slicing the semi prefix).
+
+    The device emits a tile-aligned semi-compact stream (kernels/ragged.py);
+    the host fetches the exact semi prefix (<= a few % over compressed
+    size) and squeezes the alignment gaps while assembling the frame.
+    Replaces the round-1 padded-row fetch (~156 MB for ~36 MB compressed at
+    the 128 MiB bench point — VERDICT item 2).
     """
     import jax.numpy as jnp
 
-    from dctpu.constants import sync_words
+    from dctpu.constants import subs_per_block, sync_words
     from dctpu.kernels import ragged
 
     B, W = payload_dev.shape
-    total_pad = B * W
+    L = block_len
+    nb = int(np.asarray(bit_len).size)  # real blocks
+    if nb == 0:
+        return np.zeros(0, np.uint32)
     if coder == "vertical":
-        wc = sync_words(block_len) + np.asarray(bit_len).astype(np.int64) // 32
-        total = int(wc.sum())
-        out = ragged.compact_vertical_device(payload_dev, block_len, total_pad)
-    else:
-        wc = payload_word_counts(bit_len, block_len)
-        total = int(wc.sum())
-        wc_pad = np.zeros(B, np.int32)
-        wc_pad[: wc.size] = wc
-        out = ragged.compact_prefix_rows(
-            payload_dev, jnp.asarray(wc_pad), total_pad
+        S = subs_per_block(L)
+        SW = sync_words(L)
+        SWT = -(-SW // ragged.VERT_TILE)
+        RPT = ragged.REGION_PAD // ragged.VERT_TILE
+        total_tiles = B * (SWT + S * RPT)
+        semi_d, wc_sub_d = ragged.compact_vertical_semi(
+            payload_dev, L, total_tiles
         )
-    return np.asarray(out[:total])
+        wc_sub = np.asarray(wc_sub_d[:nb]).astype(np.int64)  # [nb, S]
+        # segment lens per block: [SW, wc_sub...]; semi offsets are the
+        # VERT_TILE-ceiled cumsum in the same order
+        lens = np.concatenate(
+            [np.full((nb, 1), SW, np.int64), wc_sub], axis=1
+        ).reshape(-1)
+        tc = -(-lens // ragged.VERT_TILE)
+        src_off = np.zeros(lens.size + 1, np.int64)
+        np.cumsum(tc * ragged.VERT_TILE, out=src_off[1:])
+        semi = np.asarray(semi_d[: int(src_off[-1])])
+        return ragged.squeeze_host(semi, src_off[:-1], lens)
+    wc = payload_word_counts(bit_len, L)
+    tc_h = np.zeros(B, np.int64)
+    tc_h[:nb] = -(-wc // ragged.RICE_TILE)
+    total_tiles = B * (-(-W // ragged.RICE_TILE))
+    semi_d = ragged.compact_rice_semi(
+        payload_dev, jnp.asarray(tc_h.astype(np.int32)), total_tiles
+    )
+    semi = np.asarray(semi_d[: int(tc_h.sum()) * ragged.RICE_TILE])
+    src_off = np.zeros(nb, np.int64)
+    np.cumsum(tc_h[: nb - 1] * ragged.RICE_TILE, out=src_off[1:])
+    return ragged.squeeze_host(semi, src_off, wc)
 
 
 # ------------------------------------------------------------ public API
@@ -472,11 +494,20 @@ def decompress(
             if idx.size == B:
                 words_d, goff_d = flat_d, off_d
             else:
+                # semi-aligned subset: each selected block's words start on
+                # a VERT_TILE boundary; staging only needs intra-block
+                # contiguity, so the aligned offsets are handed over as-is
                 wch = np.diff(off_host)[idx]
-                words_d, goff_d = ragged.subset_compact(
-                    flat_d, off_d, jnp.asarray(idx.astype(np.int32)),
-                    int(wch.sum()),
+                tc = -(-wch // ragged.VERT_TILE)
+                goff8 = np.zeros(idx.size + 1, np.int64)
+                np.cumsum(tc * ragged.VERT_TILE, out=goff8[1:])
+                words_d = ragged.subset_semi(
+                    flat_d,
+                    jnp.asarray(off_host[idx].astype(np.int32)),
+                    jnp.asarray(wch.astype(np.int32)),
+                    int(tc.sum()),
                 )
+                goff_d = jnp.asarray(goff8.astype(np.int32))
             # buckets come from a cheap host parse of the sync tables
             # (payload bytes are already in host memory)
             if coder == "rice":

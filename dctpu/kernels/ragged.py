@@ -3,17 +3,27 @@
 Round 1 did all ragged work on the host, which meant fetching the *padded*
 device payload rows (~156 MB for a 36 MB compressed result at the 128 MiB
 bench point) through the host link. These jitted transforms keep the ragged
-permutations on device so only exact compressed words ever cross the link
+permutations on device so only ~compressed-size bytes cross the link
 (VERDICT round 1, item 2).
 
-Measured basis (bench/gather_probe.py, TPU v5e): standalone XLA gathers run
-at memory speed on this platform — 72 GB/s for flat word gathers, 187 GB/s
-for 65-word windows. (Round 1's "~10 ns/element" finding applies to gathers
-*fused into* larger kernels, e.g. take_along_axis inside the codec body —
-those remain banned; a dedicated gather dispatch is cheap.)
+Measured basis (TPU v5e, this repo's probes; the axon fetch floor is ~26 ms
+and is subtracted):
 
-All functions are shape-polymorphic only in ways jit can cache: callers pass
-static `total` paddings and slice the exact prefix after the fetch.
+  elementwise gather            ~8.4 ns/element  (slow — matches round 1)
+  row/tile gather               ~5-10 ns PER INDEX, independent of row width
+  vmapped dynamic_slice window  ~780 ns/window   (avoid)
+  8-way masked funnel select    ~memory speed
+  scatter-marks / cummax / cumsum over ~10M      ~1-2 ms
+
+So every transform below is built from: (a) gathers of TILE-word rows —
+cost scales with index COUNT, so tiles are as coarse as alignment waste
+allows; (b) dense funnel selects to un-align; (c) the scatter-max + cummax
+forward-fill to build segment maps without small-table gathers.
+
+Compaction emits a tile-aligned "semi-compact" stream (each segment starts
+on a TILE boundary, zero-padded gaps); the host squeezes the gaps while
+assembling the frame (squeeze_host). Staging accepts the exact disk words.
+
 Host-side equivalents (codec.vertical_host, codec.api.compact_payload,
 kernels.unpack_scan.stage_rice_scan) remain the tested fallbacks; byte
 equality with them is enforced in tests/test_ragged.py.
@@ -26,6 +36,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dctpu.constants import (
     SUB_BLOCK,
@@ -39,6 +50,14 @@ from dctpu.kernels.vertical_xla import (
     REGION_WORDS,
 )
 
+RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
+VERT_TILE = 8      # sub-granular semi alignment (waste <= 7 words/sub)
+REGION_PAD = 152   # REGION_WORDS=148 padded to a VERT_TILE multiple
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
 
 def exclusive_scan(wc: jnp.ndarray) -> jnp.ndarray:
     """[N] counts -> [N+1] exclusive offsets (int32)."""
@@ -46,81 +65,104 @@ def exclusive_scan(wc: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros(1, jnp.int32), inc])
 
 
-def segment_ids(off: jnp.ndarray, total: int) -> jnp.ndarray:
-    """[N+1] exclusive offsets -> [total] segment id per element.
+def _ffill_at(pos: jnp.ndarray, vals: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Forward fill: out[i] = vals[s] for the largest s with pos[s] <= i.
 
-    Elements in [off[s], off[s+1]) get id s. Empty segments are skipped
-    (their shared start mark accumulates, and cumsum-1 lands on the last
-    segment starting there, which owns the following words).
+    Requires vals nondecreasing in s (scatter-max at shared positions then
+    picks the last segment starting there — the owner of the following
+    span). Built from one scatter-max + one cummax; no gathers.
     """
-    marks = jnp.zeros(total, jnp.int32).at[off[:-1]].add(1, mode="drop")
-    return jnp.cumsum(marks) - 1
+    lo = jnp.iinfo(jnp.int32).min
+    buf = jnp.full(total, lo, jnp.int32).at[pos].max(vals, mode="drop")
+    return jax.lax.cummax(buf)
 
 
-# ------------------------------------------------------------ prefix rows
-
-
-def compact_prefix_rows(
-    rows: jnp.ndarray,  # [B, W] u32, live words are each row's prefix
-    wc: jnp.ndarray,    # [B] i32 live words per row
-    total: int,         # static output size >= sum(wc); tail is zeroed
+def tile_segment_compact(
+    src_tiles: jnp.ndarray,  # [T, TILE] source tiles
+    src_start: jnp.ndarray,  # [Nseg] i32 first source tile of each segment
+    tc: jnp.ndarray,         # [Nseg] live tiles per segment (prefix)
+    total_tiles: int,        # static >= sum(tc); tail zeroed
 ) -> jnp.ndarray:
-    """Concatenate row prefixes into one [total] u32 buffer (on device)."""
+    """Concatenate per-segment live tile prefixes -> [total_tiles, TILE].
+
+    Exactness requires src_start[s+1] - src_start[s] >= tc[s] (live tiles
+    never exceed the segment's source stride), which makes the forward-fill
+    value src_start[s] - off[s] nondecreasing.
+    """
+    off = exclusive_scan(tc)
+    ff = _ffill_at(off[:-1], src_start - off[:-1], total_tiles)
+    i = jnp.arange(total_tiles, dtype=jnp.int32)
+    src = jnp.clip(ff + i, 0, src_tiles.shape[0] - 1)
+    out = src_tiles[src]
+    valid = i < off[-1]
+    return jnp.where(valid[:, None], out, jnp.uint32(0))
+
+
+def tile_window_gather(
+    flat: jnp.ndarray,    # [N] u32
+    starts: jnp.ndarray,  # [Nwin] i32 word offsets (arbitrary alignment)
+    width: int,           # static window width (words)
+    tile: int = VERT_TILE,
+) -> jnp.ndarray:
+    """[Nwin, width] windows via tile-row gather + 8-way funnel select."""
+    N = int(flat.shape[0])
+    T = max(_cdiv(N, tile), 1)
+    pad = T * tile - N
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    tiles = flat.reshape(T, tile)
+    K = _cdiv(width, tile) + 1
+    ti = starts[:, None] // tile + jnp.arange(K, dtype=jnp.int32)[None, :]
+    wide = tiles[jnp.clip(ti, 0, T - 1)].reshape(-1, K * tile)
+    r = starts % tile
+    out = jnp.zeros((starts.shape[0], width), jnp.uint32)
+    for rr in range(tile):
+        out = jnp.where((r == rr)[:, None], wide[:, rr : rr + width], out)
+    # zero-fill out-of-range words (clipped tile reads would repeat data)
+    wpos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    return jnp.where((wpos >= 0) & (wpos < N), out, jnp.uint32(0))
+
+
+# ------------------------------------------------------------ host squeeze
+
+
+def squeeze_host(
+    semi: np.ndarray, src_off: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Drop tile-alignment gaps: semi[src_off[s] : src_off[s]+lens[s]] concat.
+
+    Vectorized numpy (one fancy-index pass); segments are in output order.
+    """
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.uint32)
+    dst_off = np.zeros(lens.size + 1, np.int64)
+    np.cumsum(lens, out=dst_off[1:])
+    seg = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    pos = np.arange(total, dtype=np.int64) - dst_off[seg]
+    return semi[src_off.astype(np.int64)[seg] + pos]
+
+
+# ------------------------------------------------------------ rice
+
+
+@functools.partial(jax.jit, static_argnames=("total_tiles",))
+def compact_rice_semi(
+    rows: jnp.ndarray,  # [B, W] u32 padded payload rows (live prefix)
+    tc: jnp.ndarray,    # [B] i32 live tiles (= ceil(wc / RICE_TILE))
+    total_tiles: int,
+) -> jnp.ndarray:
+    """[B, W] -> [total_tiles*RICE_TILE] semi-compact words (device)."""
     B, W = rows.shape
-    off = exclusive_scan(wc)
-    ids = segment_ids(off, total)
-    pos = jnp.arange(total, dtype=jnp.int32) - off[ids]
-    src = ids * W + jnp.minimum(pos, W - 1)
-    out = rows.reshape(-1)[src]
-    valid = jnp.arange(total, dtype=jnp.int32) < off[-1]
-    return jnp.where(valid, out, jnp.uint32(0))
-
-
-def expand_prefix_rows(
-    flat: jnp.ndarray,      # [N] u32 compact words
-    word_off: jnp.ndarray,  # [B+1] i32 per-row word offsets
-    num_rows: int,
-    width: int,             # static padded row width
-) -> jnp.ndarray:
-    """Inverse of compact_prefix_rows: [N] -> [B, width] zero-padded rows."""
-    wc = word_off[1:] - word_off[:-1]
-    col = jnp.arange(width, dtype=jnp.int32)[None, :]
-    src = word_off[:-1, None] + col
-    live = col < wc[:, None]
-    src = jnp.clip(src, 0, max(int(flat.shape[0]) - 1, 0))
-    out = flat[src] if flat.shape[0] else jnp.zeros((num_rows, width), jnp.uint32)
-    return jnp.where(live, out, jnp.uint32(0))
-
-
-def subset_compact(
-    flat: jnp.ndarray,      # [N] u32 whole-frame disk words
-    word_off: jnp.ndarray,  # [B+1] i32 per-block offsets into flat
-    idx: jnp.ndarray,       # [G] i32 selected block indices
-    total: int,             # static >= sum of selected word counts
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather a block subset's words into a compact buffer (+ [G+1] offsets)."""
-    wc = word_off[1:] - word_off[:-1]
-    wcg = wc[idx]
-    off = exclusive_scan(wcg)
-    ids = segment_ids(off, total)
-    pos = jnp.arange(total, dtype=jnp.int32) - off[ids]
-    src = word_off[idx[ids]] + pos
-    src = jnp.clip(src, 0, max(int(flat.shape[0]) - 1, 0))
-    valid = jnp.arange(total, dtype=jnp.int32) < off[-1]
-    return jnp.where(valid, flat[src], jnp.uint32(0)), off
-
-
-# ------------------------------------------------------------ rice staging
-
-
-def _sync_rows(
-    flat: jnp.ndarray, word_off: jnp.ndarray, block_len: int
-) -> jnp.ndarray:
-    """Gather each block's sync table words: [B, SW] u32."""
-    SW = sync_words(block_len)
-    src = word_off[:-1, None] + jnp.arange(SW, dtype=jnp.int32)[None, :]
-    src = jnp.clip(src, 0, max(int(flat.shape[0]) - 1, 0))
-    return flat[src]
+    W_pad = _cdiv(W, RICE_TILE) * RICE_TILE
+    if W_pad != W:
+        rows = jnp.pad(rows, ((0, 0), (0, W_pad - W)))
+    W8 = W_pad // RICE_TILE
+    src_tiles = rows.reshape(B * W8, RICE_TILE)
+    src_start = jnp.arange(B, dtype=jnp.int32) * W8
+    out = tile_segment_compact(src_tiles, src_start, tc, total_tiles)
+    return out.reshape(-1)
 
 
 def _sync_u16(sync: jnp.ndarray, subs: int) -> jnp.ndarray:
@@ -128,18 +170,6 @@ def _sync_u16(sync: jnp.ndarray, subs: int) -> jnp.ndarray:
     lo = (sync & jnp.uint32(0xFFFF)).astype(jnp.int32)
     hi = (sync >> jnp.uint32(16)).astype(jnp.int32)
     return jnp.stack([lo, hi], axis=2).reshape(sync.shape[0], -1)[:, :subs]
-
-
-@functools.partial(jax.jit, static_argnames=("block_len",))
-def max_sub_bits_device(
-    flat: jnp.ndarray, word_off: jnp.ndarray, block_len: int
-) -> jnp.ndarray:
-    """Max sync-table entry over the frame (scalar fetch for bucket choice)."""
-    if word_off.shape[0] <= 1 or flat.shape[0] == 0:
-        return jnp.int32(0)
-    subs = subs_per_block(block_len)
-    lens = _sync_u16(_sync_rows(flat, word_off, block_len), subs)
-    return jnp.max(lens)
 
 
 @functools.partial(jax.jit, static_argnames=("block_len", "buf_words"))
@@ -151,9 +181,9 @@ def stage_rice_scan_device(
 ) -> jnp.ndarray:
     """Device twin of kernels.unpack_scan.stage_rice_scan.
 
-    [N] disk words -> [B, SW + S*(UB+1)] rows: sync table verbatim, then each
-    sub-block's raw words starting at the u32 containing its first code bit.
-    One 65..193-word window gather per sub (measured 187 GB/s, gather_probe g3).
+    [N] disk words -> [B, SW + S*(UB+1)] rows: sync table verbatim, then
+    each sub-block's raw words starting at the u32 containing its first
+    code bit. Window gathers + funnel; no elementwise gathers.
     """
     B = int(word_off.shape[0]) - 1
     S = subs_per_block(block_len)
@@ -161,110 +191,181 @@ def stage_rice_scan_device(
     UB1 = buf_words + 1
     if B == 0 or flat.shape[0] == 0:
         return jnp.zeros((B, SW + S * UB1), jnp.uint32)
-    sync = _sync_rows(flat, word_off, block_len)
+    sync = tile_window_gather(flat, word_off[:-1], SW)
     sub_lens = _sync_u16(sync, S)  # [B, S]
     boff = SW * 32 + jnp.cumsum(sub_lens, axis=1) - sub_lens
     start = word_off[:-1, None] + (boff >> 5)  # [B, S]
-
-    src = start[:, :, None] + jnp.arange(UB1, dtype=jnp.int32)[None, None, :]
-    src = jnp.clip(src, 0, int(flat.shape[0]) - 1)
-    subsw = flat[src].reshape(B, S * UB1)
-    return jnp.concatenate([sync, subsw], axis=1)
+    subsw = tile_window_gather(flat, start.reshape(-1), UB1)
+    return jnp.concatenate([sync, subsw.reshape(B, S * UB1)], axis=1)
 
 
 # ------------------------------------------------------------ vertical
 
+# Region repack: the device region layout is p-major plane slots [4p, 4p+4)
+# with pos words at fixed 128 and vals at 132 (vertical_xla). The disk
+# layout per sub is the live prefix [pw*b plane words | ceil(n_exc/4) pos |
+# n_exc vals]. _pack_region / _unpack_region convert between them with pure
+# reshapes, pads, and b-indexed barrel rolls — no gathers.
 
-def _vertical_layout(
-    flat: jnp.ndarray, word_off: jnp.ndarray, block_len: int
-):
-    """Parse sync tables on device -> per-sub (b, n_exc, wc_sub, pw)."""
-    S = subs_per_block(block_len)
-    sync = _sync_rows(flat, word_off, block_len)
-    entries = _sync_u16(sync, S)
-    b = entries & 0x3F          # [B, S]
+
+def _plane_pack(region: jnp.ndarray, pwv: int) -> jnp.ndarray:
+    """[..., 128] plane slots (stride 4) -> [..., 128] live-packed (stride pwv)."""
+    if pwv == 4:
+        return region
+    lead = region.shape[:-1]
+    packed = region.reshape(lead + (32, 4))[..., :pwv].reshape(lead + (32 * pwv,))
+    return jnp.pad(packed, [(0, 0)] * len(lead) + [(0, 128 - 32 * pwv)])
+
+
+def _plane_unpack(packed: jnp.ndarray, pwv: int) -> jnp.ndarray:
+    """Inverse of _plane_pack."""
+    if pwv == 4:
+        return packed
+    lead = packed.shape[:-1]
+    v = packed[..., : 32 * pwv].reshape(lead + (32, pwv))
+    v = jnp.pad(v, [(0, 0)] * len(lead) + [(0, 0), (0, 4 - pwv)])
+    return v.reshape(lead + (128,))
+
+
+def _roll_up_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
+    """Shift x right (toward higher slots) by amt*step along the last axis.
+
+    amt: broadcastable integer array with values in [0, 32]; barrel of
+    masked static shifts (step * 2^j). Zero fill."""
+    for j in range(6):  # amt <= 32 -> bits 0..5
+        sh = step << j
+        if sh >= x.shape[-1]:
+            break
+        shifted = jnp.pad(x[..., :-sh], [(0, 0)] * (x.ndim - 1) + [(sh, 0)])
+        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
+    return x
+
+
+def _roll_down_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
+    """Shift x left (toward lower slots) by amt*step; zero fill."""
+    for j in range(6):
+        sh = step << j
+        if sh >= x.shape[-1]:
+            break
+        shifted = jnp.pad(x[..., sh:], [(0, 0)] * (x.ndim - 1) + [(0, sh)])
+        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
+    return x
+
+
+def _pw_groups(block_len: int):
+    """Static sub-index groups by plane word count pw (usually just {4})."""
+    caps = sub_caps(block_len)
+    pws = [(c + 31) // 32 for c in caps]
+    groups = {}
+    for s, pw in enumerate(pws):
+        groups.setdefault(pw, []).append(s)
+    return groups, np.asarray(pws, np.int32)
+
+
+def vertical_wc_sub(entries: jnp.ndarray, pw: jnp.ndarray) -> jnp.ndarray:
+    """[B, S] sync entries + [S] pw -> [B, S] live words per sub."""
+    b = entries & 0x3F
     n_exc = entries >> 6
-    pw = jnp.asarray(
-        [(c + 31) // 32 for c in sub_caps(block_len)], dtype=jnp.int32
-    )[None, :]
-    wc_sub = pw * b + (n_exc + 3) // 4 + n_exc
-    return sync, b, n_exc, wc_sub, pw
+    return pw[None, :] * b + (n_exc + 3) // 4 + n_exc
 
 
-@functools.partial(jax.jit, static_argnames=("block_len",))
-def max_plane_width_device(
-    flat: jnp.ndarray, word_off: jnp.ndarray, block_len: int
-) -> jnp.ndarray:
-    if word_off.shape[0] <= 1 or flat.shape[0] == 0:
-        return jnp.int32(0)
-    _, b, _, _, _ = _vertical_layout(flat, word_off, block_len)
-    return jnp.max(b)
-
-
-@functools.partial(jax.jit, static_argnames=("block_len", "total"))
-def compact_vertical_device(
+@functools.partial(jax.jit, static_argnames=("block_len", "total_tiles"))
+def compact_vertical_semi(
     rows: jnp.ndarray,  # [B, SW + S*REGION_WORDS] u32 device payload rows
     block_len: int,
-    total: int,         # static >= total disk words; tail zeroed
+    total_tiles: int,
 ) -> jnp.ndarray:
-    """Device twin of codec.vertical_host.compact_vertical.
+    """Device rows -> [total_tiles*VERT_TILE] semi-compact words.
 
-    For each disk word, computes its (block, sub, region-slot) source by the
-    FORMAT §2.2 piecewise-affine layout and gathers. The per-block disk
-    layout is [SW sync | per-sub live words]; modelled as S+1 segments per
-    block (segment 0 = the sync table).
+    Segment order: per block, the sync table then each sub's live prefix,
+    every segment VERT_TILE-aligned (host squeezes gaps).
     """
-    B, W = rows.shape
+    B = rows.shape[0]
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
-    flat0 = rows.reshape(-1)
+    groups, pws = _pw_groups(block_len)
 
     sync = rows[:, :SW]
     entries = _sync_u16(sync, S)
-    b = entries & 0x3F
+    b = (entries & 0x3F).astype(jnp.int32)
     n_exc = entries >> 6
-    pw = jnp.asarray(
-        [(c + 31) // 32 for c in sub_caps(block_len)], dtype=jnp.int32
-    )[None, :]
-    plane_w = pw * b
-    pos_w = (n_exc + 3) // 4
-    wc_sub = plane_w + pos_w + n_exc  # [B, S]
+    pw_d = jnp.asarray(pws)
+    wc_sub = vertical_wc_sub(entries, pw_d)
 
-    counts = jnp.concatenate(
-        [jnp.full((B, 1), SW, jnp.int32), wc_sub.astype(jnp.int32)], axis=1
-    ).reshape(-1)  # [B*(S+1)]
-    off = exclusive_scan(counts)
-    seg = segment_ids(off, total)          # flat segment id
-    w_local = jnp.arange(total, dtype=jnp.int32) - off[seg]
-    bi = seg // (S + 1)
-    si = seg % (S + 1) - 1                 # -1 = sync segment
+    region = rows[:, SW:].reshape(B, S, REGION_WORDS)
+    # pack each region to its live prefix: planes (pw-grouped reshape),
+    # then the 20-word tail rolled up to pw*b
+    planes = region[:, :, :PLANE_REGION]
+    packed_planes = jnp.zeros_like(planes)
+    for pwv, subs_list in groups.items():
+        mask = np.zeros(S, bool)
+        mask[subs_list] = True
+        m = jnp.asarray(mask)[None, :, None]
+        packed_planes = jnp.where(
+            m, _plane_pack(planes, pwv), packed_planes
+        )
+    # zero plane words at/after pw*b (slots past the live prefix)
+    slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    live_planes = slot < (pw_d[None, :, None] * b[:, :, None])
+    packed_planes = jnp.where(live_planes, packed_planes, jnp.uint32(0))
 
-    is_sync = si < 0
-    s0 = jnp.maximum(si, 0)
-    pbf = plane_w[bi, s0]
-    poswf = pos_w[bi, s0]
-    pwf = jnp.broadcast_to(pw, (B, S))[bi, s0]
-    p = jnp.where(pwf > 0, w_local // jnp.maximum(pwf, 1), 0)
-    wr = w_local - p * pwf
-    in_planes = w_local < pbf
-    in_pos = ~in_planes & (w_local < pbf + poswf)
-    region_idx = jnp.where(
-        in_planes,
-        4 * p + wr,
-        jnp.where(
-            in_pos,
-            PLANE_REGION + (w_local - pbf),
-            PLANE_REGION + POS_REGION + (w_local - pbf - poswf),
-        ),
+    tail = region[:, :, PLANE_REGION:]  # [B, S, 20]: [4 pos slots | 16 vals]
+    # close the gap between the fixed 4-slot pos area and the vals when
+    # posw < 4: packed tail = [posw pos words | n_exc vals]
+    posw = ((n_exc + 3) // 4)[:, :, None]
+    tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    vals_down = _roll_down_by(tail, POS_REGION - posw, 1)
+    tail = jnp.where(tslot < posw, tail, vals_down)
+    tail = jnp.pad(tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION))))
+    packed = jnp.pad(packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION)))
+    rolled = jnp.zeros_like(packed)
+    for pwv, subs_list in groups.items():
+        mask = np.zeros(S, bool)
+        mask[subs_list] = True
+        m = jnp.asarray(mask)[None, :, None]
+        rolled = jnp.where(m, _roll_up_by(tail, b[:, :, None], pwv), rolled)
+    packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
+
+    # combined per-block source: [SWT sync tiles | S * RPT region tiles]
+    SWT = _cdiv(SW, VERT_TILE)
+    RPT = REGION_PAD // VERT_TILE
+    sync_pad = jnp.pad(sync, ((0, 0), (0, SWT * VERT_TILE - SW)))
+    combined = jnp.concatenate(
+        [sync_pad, packed.reshape(B, S * REGION_PAD)], axis=1
     )
-    src = jnp.where(
-        is_sync,
-        bi * W + w_local,
-        bi * W + SW + s0 * REGION_WORDS + region_idx,
+    src_tiles = combined.reshape(-1, VERT_TILE)
+
+    tc_sub = _cdiv_arr(wc_sub, VERT_TILE)
+    tc = jnp.concatenate(
+        [jnp.full((B, 1), SWT, jnp.int32), tc_sub.astype(jnp.int32)], axis=1
+    ).reshape(-1)
+    # per-segment source tile starts: block stride SWT + S*RPT; within a
+    # block: sync at 0, sub s at SWT + s*RPT
+    stride = SWT + S * RPT
+    within = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         SWT + jnp.arange(S, dtype=jnp.int32) * RPT]
     )
-    src = jnp.clip(src, 0, B * W - 1)
-    valid = jnp.arange(total, dtype=jnp.int32) < off[-1]
-    return jnp.where(valid, flat0[src], jnp.uint32(0))
+    src_start = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * stride + within[None, :]
+    ).reshape(-1)
+    out = tile_segment_compact(src_tiles, src_start, tc, total_tiles)
+    return out.reshape(-1), wc_sub
+
+
+def _cdiv_arr(x, d):
+    return (x + (d - 1)) // d
+
+
+@functools.partial(jax.jit, static_argnames=("block_len",))
+def vertical_sync_entries_device(
+    flat: jnp.ndarray, word_off: jnp.ndarray, block_len: int
+) -> jnp.ndarray:
+    """[B, S] sync entries from disk words (for host bucket/offset math)."""
+    S = subs_per_block(block_len)
+    SW = sync_words(block_len)
+    sync = tile_window_gather(flat, word_off[:-1], SW)
+    return _sync_u16(sync, S)
 
 
 @functools.partial(jax.jit, static_argnames=("block_len",))
@@ -275,9 +376,8 @@ def stage_vertical_device(
 ) -> jnp.ndarray:
     """Device twin of codec.vertical_host.stage_vertical.
 
-    Inverse direction: for each staged-row slot, compute its disk source (or
-    zero-fill) and gather. Staged layout per block: [SW sync | S regions of
-    REGION_WORDS, each p-major planes | pos | vals].
+    Window-gathers each sub's live span, then expands it into the fixed
+    region layout with reshapes and b-indexed rolls (no gathers).
     """
     B = int(word_off.shape[0]) - 1
     S = subs_per_block(block_len)
@@ -285,40 +385,89 @@ def stage_vertical_device(
     W = SW + S * REGION_WORDS
     if B == 0 or flat.shape[0] == 0:
         return jnp.zeros((B, W), jnp.uint32)
+    groups, pws = _pw_groups(block_len)
 
-    sync, b, n_exc, wc_sub, pw = _vertical_layout(flat, word_off, block_len)
-    suboff = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(wc_sub, axis=1)], axis=1
-    )[:, :S]  # [B, S] word offset of each sub within the block body
+    sync = tile_window_gather(flat, word_off[:-1], SW)
+    entries = _sync_u16(sync, S)
+    b = (entries & 0x3F).astype(jnp.int32)
+    n_exc = (entries >> 6).astype(jnp.int32)
+    pw_d = jnp.asarray(pws)
+    wc_sub = vertical_wc_sub(entries, pw_d)
+    suboff = jnp.cumsum(wc_sub, axis=1) - wc_sub  # [B, S] within block body
 
-    # region slot -> live-word index within the sub (or -1)
-    j = jnp.arange(REGION_WORDS, dtype=jnp.int32)[None, None, :]  # [1,1,R]
-    bb = b[:, :, None]
-    pwf = jnp.broadcast_to(pw, (B, S))[:, :, None]
-    nef = n_exc[:, :, None]
-    posw = (nef + 3) // 4
-    # plane part: slot j = 4*p + wr maps to disk p*pw + wr (pw == 4 for full
-    # subs; short final subs have pw < 4 and wr < pw only for live slots)
-    p = j // 4
-    wr = j - 4 * p
-    plane_live = (p < bb) & (wr < pwf)
-    plane_src = p * pwf + wr
-    # pos part: slots [PLANE_REGION, PLANE_REGION+POS_REGION)
-    jp = j - PLANE_REGION
-    pos_live = (jp >= 0) & (jp < posw)
-    pos_src = bb * pwf + jp
-    # val part: slots [PLANE_REGION+POS_REGION, REGION_WORDS)
-    jv = j - PLANE_REGION - POS_REGION
-    val_live = (jv >= 0) & (jv < nef)
-    val_src = bb * pwf + posw + jv
-
-    live = plane_live | pos_live | val_live
-    local = jnp.where(
-        plane_live, plane_src, jnp.where(pos_live, pos_src, val_src)
+    starts = (word_off[:-1, None] + SW + suboff).reshape(-1)
+    span = tile_window_gather(flat, starts, REGION_PAD).reshape(
+        B, S, REGION_PAD
     )
-    src = (
-        word_off[:-1, None, None] + SW + suboff[:, :, None] + local
-    )  # [B, S, R]
-    src = jnp.clip(src, 0, int(flat.shape[0]) - 1)
-    regions = jnp.where(live, flat[src], jnp.uint32(0)).reshape(B, -1)
-    return jnp.concatenate([sync, regions], axis=1)
+    # mask garbage beyond each sub's live words
+    slot = jnp.arange(REGION_PAD, dtype=jnp.int32)[None, None, :]
+    span = jnp.where(slot < wc_sub[:, :, None], span, jnp.uint32(0))
+
+    # planes: live-packed prefix -> fixed stride-4 slots
+    planes = jnp.zeros((B, S, PLANE_REGION), jnp.uint32)
+    tails = jnp.zeros((B, S, REGION_PAD), jnp.uint32)
+    for pwv, subs_list in groups.items():
+        mask = np.zeros(S, bool)
+        mask[subs_list] = True
+        m = jnp.asarray(mask)[None, :, None]
+        planes = jnp.where(
+            m, _plane_unpack(span[:, :, :PLANE_REGION], pwv), planes
+        )
+        tails = jnp.where(
+            m, _roll_down_by(span, b[:, :, None], pwv), tails
+        )
+    # zero plane slots of planes >= b (they may hold pos/val words)
+    slotp = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    planes = jnp.where(slotp >> 2 < b[:, :, None], planes, jnp.uint32(0))
+
+    posw = (n_exc + 3) // 4
+    tail20 = tails[:, :, : REGION_WORDS - PLANE_REGION]  # [B, S, 20]
+    tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    pos_live = tslot < posw[:, :, None]
+    val_live = (tslot >= POS_REGION) & (
+        tslot < POS_REGION + n_exc[:, :, None]
+    )
+    # pos words occupy tail[0:posw); vals tail[posw : posw+n_exc). Move vals
+    # up to the fixed POS_REGION boundary: roll up by (POS_REGION - posw).
+    vals_at_fixed = _roll_up_by(tail20, POS_REGION - posw[:, :, None], 1)
+    tail_fixed = jnp.where(
+        pos_live, tail20, jnp.where(val_live, vals_at_fixed, jnp.uint32(0))
+    )
+
+    region = jnp.concatenate([planes, tail_fixed], axis=2)
+    return jnp.concatenate([sync, region.reshape(B, S * REGION_WORDS)], axis=1)
+
+
+# ------------------------------------------------------------ subsets
+
+
+@functools.partial(jax.jit, static_argnames=("total_tiles",))
+def subset_semi(
+    flat: jnp.ndarray,      # [N] u32 whole-frame disk words
+    starts: jnp.ndarray,    # [G] i32 selected block word starts, ascending
+    wc: jnp.ndarray,        # [G] i32 exact word count per selected block
+    total_tiles: int,
+) -> jnp.ndarray:
+    """Gather a block subset into a VERT_TILE-aligned semi stream.
+
+    Source spans start at arbitrary word offsets (and skip unselected
+    blocks), so each output tile row is funnel-selected from a 2-tile
+    window at a forward-filled word offset. Subsets preserve block order,
+    so `starts` is nondecreasing and the forward fills are exact.
+    """
+    tc = _cdiv_arr(wc, VERT_TILE).astype(jnp.int32)
+    off = exclusive_scan(tc)
+    total = total_tiles
+    i = jnp.arange(total, dtype=jnp.int32)
+    off_ff = _ffill_at(off[:-1], off[:-1], total)     # off[s(i)]
+    start_ff = _ffill_at(off[:-1], starts, total)     # starts[s(i)]
+    wc_ff = _ffill_at(off[:-1], starts + wc, total) - start_ff  # wc[s(i)]
+    tile_in_seg = i - off_ff
+    word_start = start_ff + tile_in_seg * VERT_TILE
+    out = tile_window_gather(flat, jnp.maximum(word_start, 0), VERT_TILE)
+    # zero the per-segment alignment pad and the global tail
+    wslot = tile_in_seg[:, None] * VERT_TILE + jnp.arange(
+        VERT_TILE, dtype=jnp.int32
+    )[None, :]
+    live = (wslot < wc_ff[:, None]) & (i < off[-1])[:, None]
+    return jnp.where(live, out, jnp.uint32(0)).reshape(-1)

@@ -116,8 +116,13 @@ def stage_rice_scan(
     for c0 in range(0, B, chunk):
         c1 = min(c0 + chunk, B)
         idx = start[c0:c1, :, None].astype(idt) + span
+        # zero-fill past the end (same convention as the device staging in
+        # kernels/ragged.py; these words are never read by the decoder)
+        oob = idx >= disk_words.size
         np.clip(idx, 0, disk_words.size - 1, out=idx)
-        out[c0:c1, SW:] = disk_words[idx.reshape(c1 - c0, -1)]
+        vals = disk_words[idx.reshape(c1 - c0, -1)]
+        vals[oob.reshape(c1 - c0, -1)] = 0
+        out[c0:c1, SW:] = vals
     return out
 
 

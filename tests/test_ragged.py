@@ -6,6 +6,7 @@ import pytest
 from dctpu.codec import api as xcodec
 from dctpu.codec.vertical_host import compact_vertical, stage_vertical
 from dctpu.config import CodecConfig
+from dctpu.constants import subs_per_block, sync_words
 from dctpu.corpus import synth_corpus
 from dctpu.format.frame import payload_word_counts
 from dctpu.kernels import ragged
@@ -14,7 +15,6 @@ from dctpu.kernels.unpack_scan import (
     max_sub_bits_host,
     stage_rice_scan,
 )
-from dctpu.kernels.vertical_xla import padded_words_vertical
 
 
 def _frame(rng, coder, block_len=512, n_streams=3, n=3000):
@@ -26,30 +26,7 @@ def _frame(rng, coder, block_len=512, n_streams=3, n=3000):
     return streams, frame
 
 
-def test_compact_prefix_rows_matches_host(rng):
-    import jax.numpy as jnp
-
-    streams, frame = _frame(rng, "rice")
-    L = frame.block_len
-    # reconstruct padded rows from the frame (host), then compact on device
-    off = frame.blocks.word_offsets(L)
-    from dctpu.kernels.pack_xla import padded_words
-
-    rows = xcodec.pad_payload(
-        frame.payload_words, off, frame.blocks.num_blocks, padded_words(L) + 2
-    )
-    wc = payload_word_counts(frame.blocks.bit_len, L)
-    total = int(wc.sum())
-    out = np.asarray(
-        ragged.compact_prefix_rows(
-            jnp.asarray(rows), jnp.asarray(wc.astype(np.int32)), total + 7
-        )
-    )
-    assert np.array_equal(out[:total], frame.payload_words)
-    assert not out[total:].any()
-
-
-def test_expand_prefix_rows_matches_host(rng):
+def test_compact_rice_semi_matches_host(rng):
     import jax.numpy as jnp
 
     streams, frame = _frame(rng, "rice")
@@ -58,18 +35,53 @@ def test_expand_prefix_rows_matches_host(rng):
     from dctpu.kernels.pack_xla import padded_words
 
     W = padded_words(L) + 2
-    want = xcodec.pad_payload(
+    rows = xcodec.pad_payload(
         frame.payload_words, off, frame.blocks.num_blocks, W
     )
-    got = np.asarray(
-        ragged.expand_prefix_rows(
-            jnp.asarray(frame.payload_words),
-            jnp.asarray(off.astype(np.int32)),
-            frame.blocks.num_blocks,
-            W,
+    wc = payload_word_counts(frame.blocks.bit_len, L)
+    B = frame.blocks.num_blocks
+    tc = -(-wc // ragged.RICE_TILE)
+    total_tiles = B * (-(-W // ragged.RICE_TILE))
+    semi = np.asarray(
+        ragged.compact_rice_semi(
+            jnp.asarray(rows), jnp.asarray(tc.astype(np.int32)), total_tiles
         )
     )
-    assert np.array_equal(got, want)
+    src_off = np.zeros(B, np.int64)
+    np.cumsum(tc[:-1] * ragged.RICE_TILE, out=src_off[1:])
+    out = ragged.squeeze_host(semi, src_off, wc)
+    assert np.array_equal(out, frame.payload_words)
+
+
+def test_compact_enc_payload_device_rice(rng):
+    # end-to-end contract: device rows -> exact frame words
+    import jax.numpy as jnp
+
+    streams, frame = _frame(rng, "rice")
+    L = frame.block_len
+    off = frame.blocks.word_offsets(L)
+    from dctpu.kernels.pack_xla import padded_words
+
+    rows = xcodec.pad_payload(
+        frame.payload_words, off, frame.blocks.num_blocks, padded_words(L) + 2
+    )
+    got = xcodec.compact_enc_payload_device(
+        jnp.asarray(rows), frame.blocks.bit_len, L, "rice"
+    )
+    assert np.array_equal(got, frame.payload_words)
+
+
+def test_compact_enc_payload_device_vertical(rng):
+    import jax.numpy as jnp
+
+    streams, frame = _frame(rng, "vertical")
+    L = frame.block_len
+    off = frame.blocks.word_offsets(L)
+    rows = stage_vertical(frame.payload_words, off, L)  # device-format rows
+    got = xcodec.compact_enc_payload_device(
+        jnp.asarray(rows), frame.blocks.bit_len, L, "vertical"
+    )
+    assert np.array_equal(got, frame.payload_words)
 
 
 def test_stage_rice_scan_device_matches_host(rng):
@@ -78,14 +90,7 @@ def test_stage_rice_scan_device_matches_host(rng):
     streams, frame = _frame(rng, "rice")
     L = frame.block_len
     off = frame.blocks.word_offsets(L)
-    mb = max_sub_bits_host(frame.payload_words, off, L)
-    md = int(
-        ragged.max_sub_bits_device(
-            jnp.asarray(frame.payload_words), jnp.asarray(off.astype(np.int32)), L
-        )
-    )
-    assert md == mb
-    ub = buf_bucket(mb)
+    ub = buf_bucket(max_sub_bits_host(frame.payload_words, off, L))
     want = stage_rice_scan(frame.payload_words, off, L, ub)
     got = np.asarray(
         ragged.stage_rice_scan_device(
@@ -95,73 +100,56 @@ def test_stage_rice_scan_device_matches_host(rng):
             ub,
         )
     )
-    # host staging clamps out-of-range reads to the last word; device clips
-    # identically, but tail windows past a block's span may differ only in
-    # words the decoder never reads. Compare the decoder-visible prefix: all
-    # words of subs with nonzero length, plus sync tables.
     assert got.shape == want.shape
     assert np.array_equal(got, want)
 
 
-def test_vertical_device_transforms_match_host(rng):
+def test_stage_vertical_device_matches_host(rng):
     import jax.numpy as jnp
 
     streams, frame = _frame(rng, "vertical")
     L = frame.block_len
     off = frame.blocks.word_offsets(L)
-
-    # staging: disk words -> device rows
-    want_rows = stage_vertical(frame.payload_words, off, L)
-    got_rows = np.asarray(
+    want = stage_vertical(frame.payload_words, off, L)
+    got = np.asarray(
         ragged.stage_vertical_device(
             jnp.asarray(frame.payload_words), jnp.asarray(off.astype(np.int32)), L
         )
     )
-    assert np.array_equal(got_rows, want_rows)
-
-    # compaction: device rows -> disk words
-    want_words, want_wc = compact_vertical(want_rows, L)
-    total = int(want_wc.sum())
-    got_words = np.asarray(
-        ragged.compact_vertical_device(jnp.asarray(want_rows), L, total + 5)
-    )
-    assert np.array_equal(got_words[:total], want_words)
-    assert not got_words[total:].any()
-
-    from dctpu.codec.vertical_host import max_plane_width
-
-    assert int(
-        ragged.max_plane_width_device(
-            jnp.asarray(frame.payload_words), jnp.asarray(off.astype(np.int32)), L
-        )
-    ) == max_plane_width(want_rows, L)
+    assert np.array_equal(got, want)
 
 
-def test_subset_compact_matches_host(rng):
+def test_subset_semi_matches_host(rng):
     import jax.numpy as jnp
 
     streams, frame = _frame(rng, "adaptive")
     L = frame.block_len
-    B = frame.blocks.num_blocks
     idx = np.nonzero(frame.blocks.coder_arr() == 0)[0]
     if idx.size == 0:
         pytest.skip("no rice blocks in adaptive frame")
-    want_words, want_off = xcodec._subset_disk_words(frame, idx)
     off = frame.blocks.word_offsets(L)
-    got_words, got_off = ragged.subset_compact(
-        jnp.asarray(frame.payload_words),
-        jnp.asarray(off.astype(np.int32)),
-        jnp.asarray(idx.astype(np.int32)),
-        int(want_off[-1]) + 3,
+    wch = np.diff(off)[idx]
+    tc = -(-wch // ragged.VERT_TILE)
+    semi = np.asarray(
+        ragged.subset_semi(
+            jnp.asarray(frame.payload_words),
+            jnp.asarray(off[idx].astype(np.int32)),
+            jnp.asarray(wch.astype(np.int32)),
+            int(tc.sum()),
+        )
     )
-    got_words, got_off = np.asarray(got_words), np.asarray(got_off)
-    assert np.array_equal(got_off, want_off)
-    assert np.array_equal(got_words[: want_off[-1]], want_words)
-    assert not got_words[want_off[-1]:].any()
+    goff8 = np.zeros(idx.size + 1, np.int64)
+    np.cumsum(tc * ragged.VERT_TILE, out=goff8[1:])
+    for j, bi in enumerate(idx):
+        want = frame.payload_words[off[bi] : off[bi + 1]]
+        got = semi[goff8[j] : goff8[j] + wch[j]]
+        assert np.array_equal(got, want), f"block {bi}"
+        pad = semi[goff8[j] + wch[j] : goff8[j + 1]]
+        assert not pad.any()
 
 
 def test_block_len_not_multiple_of_sub(rng):
-    # short final sub-block (pw < 4) exercises the pw-varying layout math
+    # short final sub-block (pw < 4) exercises the pw-grouped repack math
     import jax.numpy as jnp
 
     streams = [rng.integers(0, 2**20, 1000, np.int64).astype(np.int32)]
@@ -175,8 +163,7 @@ def test_block_len_not_multiple_of_sub(rng):
         )
     )
     assert np.array_equal(got, want)
-    want_words, want_wc = compact_vertical(want, L)
-    got_words = np.asarray(
-        ragged.compact_vertical_device(jnp.asarray(want), L, int(want_wc.sum()))
+    got_words = xcodec.compact_enc_payload_device(
+        jnp.asarray(want), frame.blocks.bit_len, L, "vertical"
     )
-    assert np.array_equal(got_words, want_words)
+    assert np.array_equal(got_words, frame.payload_words)

@@ -264,57 +264,72 @@ def decompress_sharded(
     L = frame.block_len
     B = frame.blocks.num_blocks
     coders = frame.blocks.coder_arr()
-    rice_frame = not (B and np.any(coders == CODER_VERTICAL))
-    buf_words = 0
-    if rice_frame and backend in (None, "scan"):
-        # shift-buffer decode path (kernels/unpack_scan.py), the default
-        from dctpu.kernels.unpack_scan import (
-            buf_bucket,
-            max_sub_bits_host,
-            stage_rice_scan,
-        )
-
-        off = frame.blocks.word_offsets(L)
-        buf_words = buf_bucket(max_sub_bits_host(frame.payload_words, off, L))
-        padded = stage_rice_scan(frame.payload_words, off, L, buf_words)
-        coder, backend = "rice", "scan"
-    else:
-        padded, coder = capi.stage_frame_payload(frame)
-    max_planes = 32
-    if coder == "vertical":
-        from dctpu.codec.vertical_host import max_plane_width
-        from dctpu.kernels.vertical_xla import plane_bucket
-
-        max_planes = plane_bucket(max_plane_width(padded, L))
     coeffs = (
         np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)
         if frame.tables
         else np.zeros((1, 4), np.int64)
     )
     chunk = _round_up(chunk_blocks, ndev)
-    has_lpc = bool(np.any(frame.blocks.predictor == LPC))
 
     xs = np.zeros((B, L), dtype=np.int32)
-    for c0 in range(0, B, chunk):
-        c1 = min(c0 + chunk, B)
-        size = chunk if B > chunk else _round_up(max(B, 1), ndev)
-        out = decode_blocks_sharded(
-            capi._pad_chunk(padded[c0:c1], size),
-            capi._pad_chunk(frame.blocks.k[c0:c1].astype(np.int32), size),
-            capi._pad_chunk(frame.blocks.n[c0:c1].astype(np.int32), size),
-            capi._pad_chunk(frame.blocks.predictor[c0:c1].astype(np.int32), size),
-            capi._pad_chunk(frame.blocks.table_idx[c0:c1].astype(np.int32), size),
-            capi._pad_chunk(frame.blocks.history[c0:c1], size),
-            coeffs,
-            L,
-            has_lpc,
-            mesh,
-            backend or "xla",
-            coder,
-            max_planes,
-            buf_words,
-        )
-        xs[c0:c1] = np.asarray(out[: c1 - c0])
+    for coder_id in np.unique(coders) if B else []:
+        idx = np.nonzero(coders == coder_id)[0]
+        coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
+        buf_words = 0
+        grp_backend = backend or "xla"
+        if coder == "rice" and backend in (None, "scan"):
+            # shift-buffer decode path (kernels/unpack_scan.py), the default
+            from dctpu.kernels.unpack_scan import (
+                buf_bucket,
+                max_sub_bits_host,
+                stage_rice_scan,
+            )
+
+            if idx.size == B:
+                words = frame.payload_words
+                off = frame.blocks.word_offsets(L)
+            else:
+                words, off = capi._subset_disk_words(frame, idx)
+            buf_words = buf_bucket(max_sub_bits_host(words, off, L))
+            padded = stage_rice_scan(words, off, L, buf_words)
+            grp_backend = "scan"
+        elif idx.size == B:
+            padded, coder = capi.stage_frame_payload(frame)
+        else:  # mixed-coder frame: stage this coder's subset
+            padded = capi._stage_block_subset(frame, idx, int(coder_id))
+        max_planes = 32
+        if coder == "vertical":
+            from dctpu.codec.vertical_host import max_plane_width
+            from dctpu.kernels.vertical_xla import plane_bucket
+
+            max_planes = plane_bucket(max_plane_width(padded, L))
+        has_lpc = bool(np.any(frame.blocks.predictor[idx] == LPC))
+        G = idx.size
+        for c0 in range(0, G, chunk):
+            c1 = min(c0 + chunk, G)
+            sel = idx[c0:c1]
+            size = chunk if G > chunk else _round_up(max(G, 1), ndev)
+            out = decode_blocks_sharded(
+                capi._pad_chunk(padded[c0:c1], size),
+                capi._pad_chunk(frame.blocks.k[sel].astype(np.int32), size),
+                capi._pad_chunk(frame.blocks.n[sel].astype(np.int32), size),
+                capi._pad_chunk(
+                    frame.blocks.predictor[sel].astype(np.int32), size
+                ),
+                capi._pad_chunk(
+                    frame.blocks.table_idx[sel].astype(np.int32), size
+                ),
+                capi._pad_chunk(frame.blocks.history[sel], size),
+                coeffs,
+                L,
+                has_lpc,
+                mesh,
+                grp_backend,
+                coder,
+                max_planes,
+                buf_words,
+            )
+            xs[sel] = np.asarray(out[: c1 - c0])
 
     out_streams = []
     for s in frame.streams:

@@ -51,11 +51,23 @@ def compress_multihost(
     local_stream_ids: Sequence[int] | None = None,
     local_cadences: Sequence[int] | None = None,
     backend: str = "xla",
+    gather: str = "auto",
+    parts_dir: str | None = None,
 ):
     """Each process passes ITS OWN streams; returns (frame_or_None, stats).
 
     Host 0 returns the assembled Frame (global stream order = process order,
     then per-process stream order); other hosts return None.
+
+    Payload gather modes (round-1 VERDICT item 6 — the padded allgather
+    ships every host's payload to every host, O(P^2) bytes on DCN):
+
+      "allgather"  padded process_allgather (in-memory; fine for few hosts)
+      "files"      each host writes its ordered compact shard to parts_dir
+                   (shared filesystem) with an atomic rename; host 0 reads
+                   them after a barrier. Bytes moved: O(total compressed)
+                   to storage, only small metadata on DCN.
+      "auto"       "files" when parts_dir is given, else "allgather".
     """
     from dctpu.codec import api as capi
     from dctpu.format.frame import BlockHeaders, Frame, StreamMeta
@@ -106,17 +118,44 @@ def compress_multihost(
     ti_g = _gather_rows(enc.table_idx)
     bl_g = _gather_rows(enc.bit_len)
 
-    # Payload: compact local shard, padded allgather, slice into global order.
+    # Payload: compact local shard, then gather in the selected mode.
+    if gather == "auto":
+        gather = "files" if parts_dir is not None else "allgather"
     local_rows = _local_rows(enc.payload)
     local_bl = bl_g[pid * per_proc : (pid + 1) * per_proc]
     local_compact = capi.compact_enc_payload(local_rows, local_bl, cfg)
     sizes = multihost_utils.process_allgather(
         np.array([local_compact.size], dtype=np.int64)
     ).reshape(-1)
-    max_words = int(sizes.max()) if sizes.size else 0
-    padded = np.zeros(max_words, dtype=np.uint32)
-    padded[: local_compact.size] = local_compact
-    gathered = np.asarray(multihost_utils.process_allgather(padded))  # [nproc, max]
+    if gather == "files":
+        # O(total) bytes: every host writes ONLY its own ordered shard;
+        # atomic rename + a global barrier make the reads race-free.
+        import os
+        from pathlib import Path
+
+        pdir = Path(parts_dir)
+        pdir.mkdir(parents=True, exist_ok=True)
+        part = pdir / f"payload-{pid:05d}.u32"
+        tmp = part.with_suffix(".tmp")
+        tmp.write_bytes(np.ascontiguousarray(local_compact, "<u4").tobytes())
+        os.replace(tmp, part)
+        multihost_utils.sync_global_devices("dctpu_payload_parts")
+
+        def _proc_payload(p: int) -> np.ndarray:
+            data = (pdir / f"payload-{p:05d}.u32").read_bytes()
+            return np.frombuffer(data, dtype="<u4")
+    elif gather == "allgather":
+        max_words = int(sizes.max()) if sizes.size else 0
+        padded = np.zeros(max_words, dtype=np.uint32)
+        padded[: local_compact.size] = local_compact
+        gathered = np.asarray(
+            multihost_utils.process_allgather(padded)
+        )  # [nproc, max] — O(P^2) bytes; use gather="files" at scale
+
+        def _proc_payload(p: int) -> np.ndarray:
+            return gathered[p]
+    else:
+        raise ValueError(f"unknown gather mode {gather!r}")
 
     # Per-process stream metadata to host 0.
     local_meta = np.array(
@@ -175,7 +214,7 @@ def compress_multihost(
         wc = payload_word_counts(bl_g[sl], L)
         off = np.zeros(wc.size + 1, dtype=np.int64)
         np.cumsum(wc, out=off[1:])
-        payload_parts.append(gathered[p, : int(off[-1])])
+        payload_parts.append(_proc_payload(p)[: int(off[-1])])
         for si in range(p_nstreams):
             sid, cad, ns, nblk, fb = metas_g[p, si]
             metas.append(

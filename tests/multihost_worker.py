@@ -20,6 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     coord, nproc, pid, outfile = sys.argv[1:5]
+    parts_dir = sys.argv[5] if len(sys.argv) > 5 else None
     from dctpu.dist import multihost
 
     multihost.initialize(coord, int(nproc), int(pid))
@@ -28,8 +29,9 @@ def main():
     from dctpu.corpus import synth_corpus
     from dctpu.format import write_frame
 
-    streams, ids, cads = synth_corpus(6, 2000, seed=77, mixed_cadence=True,
-                                      cumulative_frac=0.4)
+    n_streams = 6 if int(nproc) == 2 else 8  # divisible split per proc count
+    streams, ids, cads = synth_corpus(n_streams, 2000, seed=77,
+                                      mixed_cadence=True, cumulative_frac=0.4)
     # contiguous split across processes
     per = len(streams) // int(nproc)
     lo, hi = int(pid) * per, (int(pid) + 1) * per
@@ -38,6 +40,7 @@ def main():
         CodecConfig(block_len=256),
         local_stream_ids=ids[lo:hi],
         local_cadences=cads[lo:hi],
+        parts_dir=parts_dir,
     )
     if int(pid) == 0:
         with open(outfile, "wb") as f:

@@ -66,3 +66,49 @@ def test_two_process_frame_equality(tmp_path):
     dec = xcodec.decompress(read_frame(multi))
     for a, b in zip(streams, dec):
         assert np.array_equal(a, b)
+
+
+def test_four_process_files_gather(tmp_path):
+    """4 processes + O(total)-bytes file gather (VERDICT round 1 items 5/6)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out = tmp_path / "mh4.dcf"
+    parts = tmp_path / "parts"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             coord, "4", str(pid), str(out), str(parts)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(4)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    streams, ids, cads = synth_corpus(8, 2000, seed=77, mixed_cadence=True,
+                                      cumulative_frac=0.4)
+    single = write_frame(
+        xcodec.compress(streams, CodecConfig(block_len=256),
+                        stream_ids=ids, cadences=cads)
+    )
+    multi = out.read_bytes()
+    assert multi == single
+
+    # every process wrote exactly one ordered shard; total part bytes equal
+    # the frame's payload section (the O(total) DCN budget claim)
+    part_files = sorted(parts.glob("payload-*.u32"))
+    assert len(part_files) == 4
+    frame = read_frame(multi)
+    assert sum(f.stat().st_size for f in part_files) == frame.payload_words.nbytes
+
+    dec = xcodec.decompress(frame)
+    for a, b in zip(streams, dec):
+        assert np.array_equal(a, b)

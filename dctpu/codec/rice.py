@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from dctpu.constants import ESCAPE_Q, K_MAX, MAX_CODE_BITS
@@ -67,6 +68,92 @@ def choose_k(z: jnp.ndarray, valid: jnp.ndarray, k_max: int = K_MAX) -> Tuple[jn
     )  # [..., K+1]
     # Packed-key min: totals <= L*MAX_CODE_BITS < 2^26, ties -> smallest k.
     key = jnp.min(totals * 32 + ks.astype(jnp.int32), axis=-1)
+    return (key & 31).astype(jnp.int32), key >> 5
+
+
+def choose_k_planes(
+    z: jnp.ndarray, n: jnp.ndarray, block_len: int, k_max: int = K_MAX
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-block argmin_k — bit-plane formulation, 2 passes over z.
+
+    Bit-identical to choose_k (tested), but instead of re-reading z once per
+    k (33 reduction passes — the round-1 Rice encode bottleneck), it reads z
+    twice and gets every k's exact total from per-block popcount tables:
+
+      P[p] = popcount of bit-plane p           (one 32x32 bit transpose)
+      E[m] = #{t : bitlen(z_t) > m}            (transpose of the OR-smear)
+      S_m  = sum_t (z_t >> m) = sum_{p>=m} 2^(p-m) P[p]
+
+    Escape at k  <=>  q = z>>k >= 16  <=>  bitlen > k+4, so the escaped
+    samples are exactly those counted by E[k+4], and their q-sum is
+    16*S_{k+4} + R_k with R_k = sum_{j<4} 2^j * #{bit_{k+j} set & bitlen >
+    k+4} (4 tiny plane&smear popcounts per k). Exact total coded bits:
+
+      L(k) = 48*E[k+4] + (k+1)*(n - E[k+4]) + S_k - 16*S_{k+4} - R_k
+
+    z: [..., L] u32 (any leading batch dims), n broadcastable [...] valid
+    counts. Returns (k [...], bits [...]) as int32/int64->int32 totals.
+    """
+    from dctpu.constants import SUB_BLOCK, subs_per_block
+    from dctpu.kernels.vertical_xla import _smear, bit_transpose32
+
+    assert k_max < 32 and k_max + 4 <= 28
+    L = z.shape[-1]
+    assert L * MAX_CODE_BITS < 2**26  # packed-key bound, as in choose_k
+    subs = subs_per_block(block_len)
+    pad = subs * SUB_BLOCK - L
+    lead = z.shape[:-1]
+    valid = (
+        jnp.arange(L, dtype=jnp.int32) < jnp.asarray(n)[..., None]
+    )
+    zm = jnp.where(valid, z, jnp.uint32(0))
+    if pad:
+        zm = jnp.pad(zm, [(0, 0)] * len(lead) + [(0, pad)])
+    zs = zm.reshape(lead + (subs, 4, 32))
+
+    pt = bit_transpose32(zs)            # [..., S, 4w, 32p] plane words
+    st = bit_transpose32(
+        _smear(zm).reshape(lead + (subs, 4, 32))
+    )                                    # smear planes: bit set <=> bitlen>p
+
+    pc = jax.lax.population_count(pt).astype(jnp.int32)
+    sc = jax.lax.population_count(st).astype(jnp.int32)
+    # per-block tables: sum over sub and word axes -> [..., 32]
+    P = jnp.sum(pc, axis=(-3, -2)).astype(jnp.int64)
+    E = jnp.sum(sc, axis=(-3, -2)).astype(jnp.int64)
+
+    # S_m for m in [0, k_max+5): weights w[m, p] = 2^(p-m) for p >= m
+    m_axis = jnp.arange(k_max + 5, dtype=jnp.int32)[:, None]
+    p_axis = jnp.arange(32, dtype=jnp.int32)[None, :]
+    w = jnp.where(
+        p_axis >= m_axis, jnp.int64(1) << jnp.maximum(p_axis - m_axis, 0), 0
+    )
+    S = jnp.einsum("mp,...p->...m", w, P)  # [..., k_max+5] int64
+
+    ks = jnp.arange(k_max + 1, dtype=jnp.int32)
+    # R_k: 4 plane&smear popcounts per k (tiny: static slices of pt/st)
+    R = []
+    for k in range(k_max + 1):
+        acc = jnp.zeros(lead, jnp.int64)
+        for j in range(4):
+            both = pt[..., :, :, k + j] & st[..., :, :, k + 4]
+            cnt = jnp.sum(
+                jax.lax.population_count(both).astype(jnp.int32), axis=(-2, -1)
+            )
+            acc = acc + (jnp.int64(1) << j) * cnt.astype(jnp.int64)
+        R.append(acc)
+    R = jnp.stack(R, axis=-1)  # [..., K+1]
+
+    n64 = jnp.asarray(n).astype(jnp.int64)[..., None]
+    Ek4 = jnp.stack([E[..., k + 4] for k in range(k_max + 1)], axis=-1)
+    Sk = S[..., : k_max + 1]
+    Sk4 = S[..., 4 : k_max + 5]
+    k64 = ks.astype(jnp.int64)
+    totals = (
+        48 * Ek4 + (k64 + 1) * (n64 - Ek4) + Sk - 16 * Sk4 - R
+    )  # [..., K+1] exact coded bits
+    totals = totals.astype(jnp.int32)
+    key = jnp.min(totals * 32 + ks, axis=-1)
     return (key & 31).astype(jnp.int32), key >> 5
 
 

@@ -76,3 +76,22 @@ def test_choose_k_packed_key_bounds():
     zbig = jnp.zeros((1, 2**26 // 48 + 64), jnp.uint32)
     with pytest.raises(AssertionError):
         rice.choose_k(zbig, jnp.ones(zbig.shape, bool), 24)
+
+
+def test_choose_k_planes_matches_choose_k(rng):
+    # bit-plane k selection (2 passes) must equal the 33-pass sweep exactly
+    import jax.numpy as jnp
+
+    from dctpu.codec import rice
+
+    for L in (512, 4096, 384):
+        mag = rng.integers(0, 33, (12, 1)).astype(np.uint64)
+        z = (rng.integers(0, 2**32, (12, L), dtype=np.uint64)
+             >> (np.uint64(32) - mag)).astype(np.uint32)
+        z[rng.random((12, L)) < 0.3] = 0
+        n = rng.integers(1, L + 1, 12).astype(np.int32)
+        valid = np.arange(L)[None, :] < n[:, None]
+        k1, b1 = rice.choose_k(jnp.asarray(z), jnp.asarray(valid))
+        k2, b2 = rice.choose_k_planes(jnp.asarray(z), jnp.asarray(n), L)
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
+        assert np.array_equal(np.asarray(b1), np.asarray(b2))

@@ -38,6 +38,25 @@ def test_merge_matches_scatter(L):
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
 
 
+@pytest.mark.parametrize("L", [1, 7, 128, 256, 1000, 4096])
+def test_scan_matches_scatter(L):
+    from dctpu.kernels.pack_scan import pack_scan
+
+    rng = np.random.default_rng(142 + L)
+    B = 16
+    z = rng.integers(0, 50, size=(B, L)).astype(np.uint32)
+    z[rng.random((B, L)) < 0.05] = 0xFFFFFFF0  # escapes
+    k = rng.integers(0, 8, size=(B, 1)).astype(np.int32)
+    n = rng.integers(0, L + 1, size=(B,)).astype(np.int32)
+    n[0], n[1 % B] = L, 0
+    valid = jnp.asarray(np.arange(L)[None, :] < n[:, None])
+    lo, hi, ln = rice.codewords(jnp.asarray(z), jnp.asarray(k))
+    p1, b1 = pack_xla(lo, hi, ln, valid, L)
+    p2, b2 = pack_scan(lo, hi, ln, valid, L)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_merge_roundtrip_through_unpack():
     rng = np.random.default_rng(7)
     B, L = 8, 512

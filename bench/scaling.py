@@ -1,0 +1,179 @@
+"""Weak-scaling pre-validation on a fake N-device CPU mesh (VERDICT r1 #8).
+
+Real multi-chip hardware is unreachable in this environment (SURVEY.md §0),
+so the >= 80% scaling-efficiency target (BASELINE.json:5) cannot be measured
+directly. This harness pre-validates the two things that would break it,
+without hardware:
+
+  1. Collective inventory by construction: compile the sharded encode and
+     decode for each mesh size and COUNT the cross-device collectives in the
+     optimized HLO, with their operand bytes. The codec's DP axis is
+     embarrassingly parallel — the assertion here is that the compiled
+     modules contain ZERO per-sample collectives (only the replicated
+     LPC-table broadcast, O(tables) bytes, amortized over the whole batch).
+     If someone accidentally introduces a resharding all-gather, this file
+     fails loudly long before a pod-slice run.
+
+  2. Weak-scaling wall clock on the fake mesh: fixed per-device block count,
+     1 -> 2 -> 4 -> 8 devices. On a shared-core CPU host the absolute times
+     mean little (all "devices" contend for the same cores, so measured
+     efficiency is a LOWER bound: real chips don't share their compute); the
+     check is that per-step time grows sub-linearly and no hidden
+     serialization (host staging, global barriers) scales with device count.
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        PYTHONPATH=. python bench/scaling.py
+Writes scaling_results.json; the BASELINE.md §scaling table is generated
+from it.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+COLLECTIVE_RE = re.compile(
+    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+)
+SHAPE_RE = re.compile(r"^\s*%?\S+\s*=\s*(\w+)\[([\d,]*)\]")
+
+DTYPE_BYTES = {
+    "u32": 4, "s32": 4, "f32": 4, "u8": 1, "s8": 1, "u16": 2, "s16": 2,
+    "u64": 8, "s64": 8, "f64": 8, "pred": 1, "bf16": 2, "f16": 2,
+}
+
+
+def collective_bytes(hlo_text: str):
+    """(op name, result bytes) for every cross-device collective in the HLO."""
+    out = []
+    for line in hlo_text.splitlines():
+        m = COLLECTIVE_RE.search(line)
+        if not m or "opcode" in line:
+            continue
+        sm = SHAPE_RE.match(line)
+        if not sm:
+            out.append((m.group(1), -1))
+            continue
+        dtype, dims = sm.group(1), sm.group(2)
+        size = 1
+        for d in dims.split(","):
+            if d:
+                size *= int(d)
+        out.append((m.group(1), size * DTYPE_BYTES.get(dtype, 4)))
+    return out
+
+
+def main():
+    from dctpu.codec import api as capi
+    from dctpu.config import CodecConfig
+    from dctpu.corpus import synth_corpus
+    from dctpu.dist.mesh import make_mesh
+    from dctpu.dist.sharded import decode_blocks_sharded, encode_blocks_sharded
+
+    devs = jax.devices()
+    print(f"devices: {len(devs)} x {devs[0].platform}", file=sys.stderr)
+    L = 1024
+    PER_DEV_BLOCKS = 64  # weak scaling: work per device is constant
+    cfg = CodecConfig(coder="vertical", block_len=L)
+
+    results = {"block_len": L, "per_device_blocks": PER_DEV_BLOCKS, "mesh": []}
+    t1 = None
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(devs):
+            break
+        mesh = make_mesh(devs[:ndev])
+        B = PER_DEV_BLOCKS * ndev
+        streams, _, _ = synth_corpus(
+            max(2, ndev), B * L // max(2, ndev), seed=123, mixed_cadence=True
+        )
+        x, n, hist, _, _ = capi.build_blocks(streams, L)
+        x, n, hist = x[:B], n[:B], hist[:B]
+        xd, nd, hd = jnp.asarray(x), jnp.asarray(n), jnp.asarray(hist)
+
+        enc = encode_blocks_sharded(xd, nd, hd, cfg, mesh, "xla")
+        jax.block_until_ready(enc.payload)
+
+        lowered = encode_blocks_sharded.lower(xd, nd, hd, cfg, mesh, "xla")
+        hlo = lowered.compile().as_text()
+        colls = collective_bytes(hlo)
+
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            enc = encode_blocks_sharded(xd, nd, hd, cfg, mesh, "xla")
+            jax.block_until_ready(enc.payload)
+        dt = (time.perf_counter() - t0) / reps
+
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt
+        row = {
+            "ndev": ndev,
+            "blocks": B,
+            "encode_s": round(dt, 4),
+            "weak_efficiency_vs_1dev": round(eff, 3),
+            "encode_collectives": colls,
+        }
+        per_sample = [c for c in colls if c[1] > 64 * 1024]
+        row["per_sample_collectives"] = len(per_sample)
+        results["mesh"].append(row)
+        print(
+            f"ndev={ndev}: {dt*1e3:7.1f} ms/step  weak-eff {eff:5.1%}  "
+            f"collectives: {colls or 'none'}",
+            file=sys.stderr,
+        )
+
+    # decode collective inventory at the largest mesh
+    ndev = results["mesh"][-1]["ndev"]
+    mesh = make_mesh(devs[:ndev])
+    B = PER_DEV_BLOCKS * ndev
+    coeffs = jnp.asarray(
+        np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64)
+    )
+    from dctpu.kernels.vertical_xla import padded_words_vertical
+
+    frame_payload = jnp.zeros((B, padded_words_vertical(L)), jnp.uint32)
+    zeros = jnp.zeros(B, jnp.int32)
+    lowered = decode_blocks_sharded.lower(
+        frame_payload, zeros, zeros, zeros, zeros,
+        jnp.zeros((B, 4), jnp.int32), coeffs,
+        L, True, mesh, "xla", "vertical", 32, 0,
+    )
+    dec_colls = collective_bytes(lowered.compile().as_text())
+    results["decode_collectives"] = dec_colls
+    print(f"decode collectives at ndev={ndev}: {dec_colls or 'none'}",
+          file=sys.stderr)
+
+    # hard assertions: nothing per-sample crosses the mesh
+    for row in results["mesh"]:
+        big = [c for c in row["encode_collectives"] if c[1] > 64 * 1024]
+        assert not big, f"per-sample encode collective at ndev={row['ndev']}: {big}"
+    big = [c for c in dec_colls if c[1] > 64 * 1024]
+    assert not big, f"per-sample decode collective: {big}"
+
+    with open("scaling_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency_8dev_cpu",
+        "value": results["mesh"][-1]["weak_efficiency_vs_1dev"],
+        "unit": "ratio",
+        "per_sample_collectives": sum(
+            r["per_sample_collectives"] for r in results["mesh"]
+        ) + len([c for c in dec_colls if c[1] > 64 * 1024]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

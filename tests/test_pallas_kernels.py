@@ -45,13 +45,32 @@ def test_pack_pallas_matches_xla(rng, L, kind):
 
 @pytest.mark.parametrize("L", [128, 256, 4096])
 @pytest.mark.parametrize("kind", ["corpus", "random"])
-def test_unpack_pallas_matches_xla(rng, L, kind):
+def test_unpack_pallas_matches_scan(rng, L, kind):
+    from dctpu.format.frame import payload_word_counts
+    from dctpu.kernels.unpack_scan import (
+        buf_bucket,
+        max_sub_bits_host,
+        stage_rice_scan,
+        unpack_scan,
+    )
+
     z, k, n, valid = _block_batch(rng, L, kind)
     lo, hi, ln = rice.codewords(z, k[:, None])
-    payload, _ = pack_xla(lo, hi, ln, valid, L)
-    payload = jnp.pad(payload, ((0, 0), (0, 2)))
-    z_x = unpack_xla(payload, k, n, L)
-    z_p = unpack_pallas(payload, k, n, L, interpret=True)
+    payload, bl = pack_xla(lo, hi, ln, valid, L)
+    # compact to a flat disk-word stream, then stage rows (decode contract)
+    wc = payload_word_counts(np.asarray(bl), L)
+    off = np.zeros(wc.size + 1, np.int64)
+    np.cumsum(wc, out=off[1:])
+    pnp = np.asarray(payload)
+    flat = np.concatenate(
+        [pnp[i, : wc[i]] for i in range(pnp.shape[0])]
+    ) if pnp.shape[0] else np.zeros(0, np.uint32)
+    ub = buf_bucket(max_sub_bits_host(flat, off, L))
+    staged = jnp.asarray(stage_rice_scan(flat, off, L, ub))
+    z_s = unpack_scan(staged, k, n, L, ub)
+    z_p = unpack_pallas(staged, k, n, L, ub, interpret=True)
+    assert np.array_equal(np.asarray(z_s), np.asarray(z_p))
+    z_x = unpack_xla(jnp.pad(payload, ((0, 0), (0, 2))), k, n, L)
     assert np.array_equal(np.asarray(z_x), np.asarray(z_p))
     zm = np.asarray(z) * np.asarray(valid)
-    assert np.array_equal(np.asarray(z_x), zm)
+    assert np.array_equal(np.asarray(z_p), zm)

@@ -551,7 +551,7 @@ def decompress(
                 sync_rows = frame.payload_words[
                     off_host[idx, None] + np.arange(SW, dtype=np.int64)[None, :]
                 ]
-                bwidths, _ = _parse_sync_rows(sync_rows, subs_per_block(L))
+                bwidths, _, _ = _parse_sync_rows(sync_rows, subs_per_block(L))
                 max_b = int(bwidths.max()) if bwidths.size else 0
             else:
                 from dctpu.codec.vertical_host import max_plane_width

@@ -290,22 +290,25 @@ def scalar_decode_block(
 def vertical_sub_cost_words(z: np.ndarray, cap: int) -> Tuple[int, int]:
     """Exact (b*, words) for one sub-block; ties -> smallest b (FORMAT §2.2).
 
-    Only widths with n_exc <= EXC_CAP are legal.
+    Only widths with n_exc <= EXC_CAP are legal. Exception values are
+    bit-planed (FORMAT §2.2): ceil(e/2) words with e = blmax - b.
     """
     pw = (cap + 31) // 32
+    blmax = int(z.max()).bit_length() if z.size else 0
     best = None
     for b in range(33):
         n_exc = int(np.count_nonzero(z >> b)) if b < 32 else 0
         if n_exc > EXC_CAP:
             continue
-        words = pw * b + (n_exc + 3) // 4 + n_exc
+        vw = min(n_exc, (blmax - b + 1) // 2) if n_exc else 0
+        words = pw * b + (n_exc + 3) // 4 + vw
         if best is None or words < best[1]:
             best = (b, words)
     return best
 
 
-def vertical_encode_sub(z: np.ndarray, cap: int) -> Tuple[int, int, List[int]]:
-    """One sub-block -> (b, n_exc, payload words)."""
+def vertical_encode_sub(z: np.ndarray, cap: int) -> Tuple[int, int, int, List[int]]:
+    """One sub-block -> (b, n_exc, e, payload words)."""
     b, _words = vertical_sub_cost_words(z, cap)
     pw = (cap + 31) // 32
     words: List[int] = []
@@ -322,13 +325,27 @@ def vertical_encode_sub(z: np.ndarray, cap: int) -> Tuple[int, int, List[int]]:
         for j in range(4 * w, min(4 * w + 4, n_exc)):
             word |= exc_pos[j] << (8 * (j - 4 * w))
         words.append(word)
-    for i in exc_pos:
-        words.append((int(z[i]) >> b) & _M32)
-    return b, n_exc, words
+    # exception values: the cheaper of raw (n_exc words) and bit-planed
+    # (ceil(e/2) words); e = blmax - b == bitlen of the largest value
+    # (FORMAT §2.2 — layout chosen deterministically, no flag bit)
+    e = 0
+    if n_exc:
+        e = max((int(z[i]) >> b).bit_length() for i in exc_pos)
+        if n_exc <= (e + 1) // 2:  # raw layout
+            for i in exc_pos:
+                words.append((int(z[i]) >> b) & _M32)
+        else:  # bit-planed layout
+            planes = [0] * (2 * ((e + 1) // 2))
+            for p in range(e):
+                for j, i in enumerate(exc_pos):
+                    planes[p] |= (((int(z[i]) >> b) >> p) & 1) << j
+            for w in range((e + 1) // 2):
+                words.append(planes[2 * w] | (planes[2 * w + 1] << 16))
+    return b, n_exc, e, words
 
 
 def vertical_decode_sub(
-    words: np.ndarray, b: int, n_exc: int, cap: int, count: int
+    words: np.ndarray, b: int, n_exc: int, e: int, cap: int, count: int
 ) -> np.ndarray:
     """Inverse of vertical_encode_sub -> `count` z values."""
     pw = (cap + 31) // 32
@@ -340,10 +357,17 @@ def vertical_decode_sub(
                 z[i] |= np.uint32(((word >> (i - 32 * w)) & 1) << p)
     base = b * pw
     pos_words = (n_exc + 3) // 4
+    if n_exc <= (e + 1) // 2:  # raw layout
+        vals = [int(words[base + pos_words + j]) for j in range(n_exc)]
+    else:  # bit-planed layout
+        vals = [0] * n_exc
+        for p in range(e):
+            plane = (int(words[base + pos_words + p // 2]) >> (16 * (p % 2))) & 0xFFFF
+            for j in range(n_exc):
+                vals[j] |= ((plane >> j) & 1) << p
     for j in range(n_exc):
         pos = (int(words[base + j // 4]) >> (8 * (j % 4))) & 0xFF
-        val = int(words[base + pos_words + j])
-        z[pos] |= np.uint32((val << b) & _M32)
+        z[pos] |= np.uint32((vals[j] << b) & _M32)
     return z
 
 
@@ -358,8 +382,8 @@ def vertical_encode_block(
         zz = z[s * SUB_BLOCK : s * SUB_BLOCK + cap]
         if zz.size == 0:
             continue
-        b, n_exc, words = vertical_encode_sub(zz, cap)
-        sync[s] = b | (n_exc << 6)
+        b, n_exc, e, words = vertical_encode_sub(zz, cap)
+        sync[s] = b | (n_exc << 6) | (((e - 1) << 11) if n_exc else 0)
         body.extend(words)
     payload = np.concatenate(
         [sync.view("<u4"), np.array(body, dtype=np.uint32)]
@@ -406,11 +430,12 @@ def vertical_decode_block(
         count = min(cap, max(0, n - s * SUB_BLOCK))
         if count == 0:
             break
-        b, n_exc = int(sync[s]) & 0x3F, int(sync[s]) >> 6
+        b, n_exc = int(sync[s]) & 0x3F, (int(sync[s]) >> 6) & 0x1F
+        e = (((int(sync[s]) >> 11) & 0x1F) + 1) if n_exc else 0
         pw = (cap + 31) // 32
-        nwords = pw * b + (n_exc + 3) // 4 + n_exc
+        nwords = pw * b + (n_exc + 3) // 4 + min(n_exc, (e + 1) // 2)
         z[s * SUB_BLOCK : s * SUB_BLOCK + count] = vertical_decode_sub(
-            words[off : off + nwords], b, n_exc, cap, count
+            words[off : off + nwords], b, n_exc, e, cap, count
         )
         off += nwords
     return z

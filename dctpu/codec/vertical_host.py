@@ -26,22 +26,28 @@ from dctpu.kernels.vertical_xla import (
 )
 
 
-def _parse_sync_rows(sync_rows: np.ndarray, subs: int) -> Tuple[np.ndarray, np.ndarray]:
-    """[B, SW] u32 -> (b [B, S], n_exc [B, S])."""
+def _parse_sync_rows(
+    sync_rows: np.ndarray, subs: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """[B, SW] u32 -> (b [B, S], n_exc [B, S], vw [B, S] value words)."""
     u16 = np.ascontiguousarray(sync_rows, dtype="<u4").view("<u2").reshape(
         sync_rows.shape[0], -1
     )[:, :subs]
     entries = u16.astype(np.int64)
-    return (entries & 0x3F).astype(np.int64), (entries >> 6).astype(np.int64)
+    b = (entries & 0x3F).astype(np.int64)
+    n_exc = ((entries >> 6) & 0x1F).astype(np.int64)
+    e = ((entries >> 11) & 0x1F) + 1  # valid only where n_exc > 0
+    vw = np.where(n_exc > 0, np.minimum(n_exc, (e + 1) // 2), 0).astype(np.int64)
+    return b, n_exc, vw
 
 
-def _layout(b: np.ndarray, n_exc: np.ndarray, block_len: int):
+def _layout(b: np.ndarray, n_exc: np.ndarray, vw: np.ndarray, block_len: int):
     """Per-sub word counts + flat piecewise mapping arrays."""
     B, S = b.shape
     pw = np.array([(c + 31) // 32 for c in sub_caps(block_len)], dtype=np.int64)
     plane_w = pw[None, :] * b
     pos_w = (n_exc + 3) // 4
-    wc_sub = plane_w + pos_w + n_exc  # [B, S]
+    wc_sub = plane_w + pos_w + vw  # [B, S]
 
     flat_counts = wc_sub.reshape(-1)
     T = int(flat_counts.sum())
@@ -82,8 +88,8 @@ def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, n
     B = payload.shape[0]
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
-    b, n_exc = _parse_sync_rows(payload[:, :SW], S)
-    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, block_len)
+    b, n_exc, vw = _parse_sync_rows(payload[:, :SW], S)
+    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, vw, block_len)
 
     wc_block = SW + wc_sub.sum(axis=1)  # [B]
     block_off = np.zeros(B + 1, dtype=np.int64)
@@ -129,8 +135,8 @@ def stage_vertical(
     sync_src = word_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
     out[:, :SW] = disk_words[sync_src]
 
-    b, n_exc = _parse_sync_rows(out[:, :SW], S)
-    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, block_len)
+    b, n_exc, vw = _parse_sync_rows(out[:, :SW], S)
+    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, vw, block_len)
 
     block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
     within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
@@ -142,5 +148,5 @@ def stage_vertical(
 def max_plane_width(staged_rows: np.ndarray, block_len: int) -> int:
     """Max sub-block width b in a staged batch (from the sync tables)."""
     S = subs_per_block(block_len)
-    b, _ = _parse_sync_rows(staged_rows[:, : sync_words(block_len)], S)
+    b, _, _ = _parse_sync_rows(staged_rows[:, : sync_words(block_len)], S)
     return int(b.max()) if b.size else 0

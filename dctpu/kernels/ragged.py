@@ -262,11 +262,19 @@ def _pw_groups(block_len: int):
     return groups, np.asarray(pws, np.int32)
 
 
+def vertical_parse_sync(entries: jnp.ndarray):
+    """[B, S] sync entries -> (b, n_exc, vw) per FORMAT §2.2."""
+    b = entries & 0x3F
+    n_exc = (entries >> 6) & 0x1F
+    e = ((entries >> 11) & 0x1F) + 1  # valid only where n_exc > 0
+    vw = jnp.where(n_exc > 0, jnp.minimum(n_exc, (e + 1) // 2), 0)
+    return b, n_exc, vw
+
+
 def vertical_wc_sub(entries: jnp.ndarray, pw: jnp.ndarray) -> jnp.ndarray:
     """[B, S] sync entries + [S] pw -> [B, S] live words per sub."""
-    b = entries & 0x3F
-    n_exc = entries >> 6
-    return pw[None, :] * b + (n_exc + 3) // 4 + n_exc
+    b, n_exc, vw = vertical_parse_sync(entries)
+    return pw[None, :] * b + (n_exc + 3) // 4 + vw
 
 
 @functools.partial(jax.jit, static_argnames=("block_len", "total_tiles"))
@@ -287,8 +295,8 @@ def compact_vertical_semi(
 
     sync = rows[:, :SW]
     entries = _sync_u16(sync, S)
-    b = (entries & 0x3F).astype(jnp.int32)
-    n_exc = entries >> 6
+    b, n_exc, _vw = vertical_parse_sync(entries)
+    b = b.astype(jnp.int32)
     pw_d = jnp.asarray(pws)
     wc_sub = vertical_wc_sub(entries, pw_d)
 
@@ -389,8 +397,10 @@ def stage_vertical_device(
 
     sync = tile_window_gather(flat, word_off[:-1], SW)
     entries = _sync_u16(sync, S)
-    b = (entries & 0x3F).astype(jnp.int32)
-    n_exc = (entries >> 6).astype(jnp.int32)
+    b, n_exc, vw = vertical_parse_sync(entries)
+    b = b.astype(jnp.int32)
+    n_exc = n_exc.astype(jnp.int32)
+    vw = vw.astype(jnp.int32)
     pw_d = jnp.asarray(pws)
     wc_sub = vertical_wc_sub(entries, pw_d)
     suboff = jnp.cumsum(wc_sub, axis=1) - wc_sub  # [B, S] within block body
@@ -425,7 +435,7 @@ def stage_vertical_device(
     tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
     pos_live = tslot < posw[:, :, None]
     val_live = (tslot >= POS_REGION) & (
-        tslot < POS_REGION + n_exc[:, :, None]
+        tslot < POS_REGION + vw[:, :, None]
     )
     # pos words occupy tail[0:posw); vals tail[posw : posw+n_exc). Move vals
     # up to the fixed POS_REGION boundary: roll up by (POS_REGION - posw).

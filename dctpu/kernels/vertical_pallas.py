@@ -26,7 +26,8 @@ from dctpu.kernels.vertical_xla import PLANE_REGION, POS_REGION, REGION_WORDS
 TR = 256  # sub-block rows per grid program
 
 
-def _decode_kernel(region_ref, b_ref, nexc_ref, count_ref, z_ref, *, max_planes):
+def _decode_kernel(region_ref, b_ref, nexc_ref, e_ref, count_ref, z_ref, *,
+                   max_planes):
     lane = jax.lax.broadcasted_iota(jnp.uint32, (TR, SUB_BLOCK), 1)
     shifts = lane % jnp.uint32(32)
     group = lane >> jnp.uint32(5)                         # lane // 32 in [0, 4)
@@ -45,12 +46,27 @@ def _decode_kernel(region_ref, b_ref, nexc_ref, count_ref, z_ref, *, max_planes)
     b = bi32.astype(jnp.uint32)
     # signed min: Mosaic cannot legalize vector arith.minui on this platform
     bsh = jnp.minimum(bi32, 31).astype(jnp.uint32)
+    # exception values (FORMAT §2.2): raw words when n_exc <= ceil(e/2),
+    # else bit-planed — value j collects bit p from the 16-bit half-plane p
+    # (planes past e are zero-staged).
+    ei = e_ref[:, :]  # [TR, 1] i32
+    raw_layout = nexc <= (ei + 1) // 2
     for j in range(EXC_CAP):
-        pw = region_ref[:, PLANE_REGION + j // 4 : PLANE_REGION + j // 4 + 1]
-        pos = (pw >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
-        val = region_ref[
+        v = jnp.zeros_like(z[:, :1])
+        for p in range(32):
+            w = region_ref[
+                :,
+                PLANE_REGION + POS_REGION + p // 2 :
+                PLANE_REGION + POS_REGION + p // 2 + 1,
+            ]
+            v = v | (((w >> jnp.uint32(16 * (p % 2) + j)) & jnp.uint32(1))
+                     << jnp.uint32(p))
+        raw = region_ref[
             :, PLANE_REGION + POS_REGION + j : PLANE_REGION + POS_REGION + j + 1
         ]
+        val = jnp.where(raw_layout, raw, v)
+        pw = region_ref[:, PLANE_REGION + j // 4 : PLANE_REGION + j // 4 + 1]
+        pos = (pw >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
         live = (jnp.int32(j) < nexc) & (bi32 < 32)
         onehot = (lane == pos) & live
         z = z | jnp.where(onehot, val << bsh, jnp.uint32(0))
@@ -79,14 +95,17 @@ def decode_vertical_staged(
     hi = (sync >> jnp.uint32(16)).astype(jnp.int32)
     entries = jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :subs]
     b = (entries & 0x3F).reshape(-1)
-    n_exc = (entries >> 6).reshape(-1)
+    n_exc = ((entries >> 6) & 0x1F).reshape(-1)
+    e = jnp.where(n_exc > 0, ((entries >> 11) & 0x1F).reshape(-1) + 1, 0)
 
     sub_start = jnp.arange(subs, dtype=jnp.int32) * SUB_BLOCK
     cap = jnp.minimum(jnp.int32(SUB_BLOCK), jnp.int32(L) - sub_start)
     count = jnp.clip(n[:, None] - sub_start[None, :], 0, cap[None, :]).reshape(-1)
 
     regions = payload[:, SW:].reshape(B * subs, REGION_WORDS)
-    z = decode_vertical_pallas(regions, b, n_exc, count, max_planes, interpret)
+    z = decode_vertical_pallas(
+        regions, b, n_exc, e, count, max_planes, interpret
+    )
     z = z.reshape(B, subs * SUB_BLOCK)[:, :L]
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
     return jnp.where(valid, z, jnp.uint32(0))
@@ -185,6 +204,7 @@ def decode_vertical_pallas(
     regions: jnp.ndarray,  # [R, REGION_WORDS] u32 (R = B*SUBS, staged)
     b: jnp.ndarray,        # [R] i32 widths
     n_exc: jnp.ndarray,    # [R] i32
+    e: jnp.ndarray,        # [R] i32 exception value widths (0 if no exc)
     count: jnp.ndarray,    # [R] i32 valid samples per sub-block
     max_planes: int = 32,
     interpret: bool = False,
@@ -196,12 +216,14 @@ def decode_vertical_pallas(
         regions = jnp.pad(regions, ((0, Rp - R), (0, 0)))
         b = jnp.pad(b, (0, Rp - R))
         n_exc = jnp.pad(n_exc, (0, Rp - R))
+        e = jnp.pad(e, (0, Rp - R))
         count = jnp.pad(count, (0, Rp - R))
     z = pl.pallas_call(
         functools.partial(_decode_kernel, max_planes=max_planes),
         grid=(Rp // TR,),
         in_specs=[
             pl.BlockSpec((TR, REGION_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -213,6 +235,7 @@ def decode_vertical_pallas(
         regions,
         b.astype(jnp.int32)[:, None],
         n_exc.astype(jnp.int32)[:, None],
+        e.astype(jnp.int32)[:, None],
         count.astype(jnp.int32)[:, None],
     )
     return z[:R]

@@ -123,11 +123,21 @@ def _select_width(
 ):
     """argmin_b words(b) s.t. n_exc(b) <= EXC_CAP; ties -> smallest b.
 
-    Returns (best_b, best_words, best_exc), each [..., S] i32. b=32 is always
-    legal (n_exc(32) == 0), so the argmin domain is never empty.
+    words(b) = pw*b + ceil(n_exc/4) + ceil(e/2) with e = blmax - b when
+    n_exc > 0 (FORMAT §2.2: exception values are bit-planed). Returns
+    (best_b, best_words, best_exc, best_e), each [..., S] i32. b=32 is
+    always legal (n_exc(32) == 0), so the argmin domain is never empty.
     """
     b_axis = jnp.arange(33, dtype=jnp.int32)
-    words = pw[..., None] * b_axis + (n_exc_all + 3) // 4 + n_exc_all
+    # blmax = number of planes with any exceeding sample (n_exc(b) > 0 for
+    # exactly the b < blmax)
+    blmax = jnp.sum((n_exc_all > 0).astype(jnp.int32), axis=-1)
+    e_b = jnp.maximum(blmax[..., None] - b_axis, 0)
+    # cheaper of raw (n_exc words) and bit-planed (ceil(e/2) words) layouts
+    vw = jnp.where(
+        n_exc_all > 0, jnp.minimum(n_exc_all, (e_b + 1) // 2), 0
+    )
+    words = pw[..., None] * b_axis + (n_exc_all + 3) // 4 + vw
     # Real word counts are <= PW*32 + 4 + 16 = 148 << 2^24, so the sentinel
     # dominates every legal width and the packed key below stays in int31
     # (words*64 + b < 2^31 requires words < 2^25; the sentinel is 2^24).
@@ -141,7 +151,8 @@ def _select_width(
     best_words = best_key >> 6
     onehot = b_axis == best_b[..., None]
     best_exc = jnp.sum(jnp.where(onehot, n_exc_all, 0), axis=-1)
-    return best_b, best_words, best_exc
+    best_e = jnp.where(best_exc > 0, blmax - best_b, 0)
+    return best_b, best_words, best_exc, best_e
 
 
 def vertical_selection_cost(
@@ -177,7 +188,7 @@ def vertical_total_words(
     zs = zm.reshape(z.shape[:-1] + (subs, SUB_BLOCK))
     pw = _plane_word_counts(block_len)
     pw = pw.reshape((1,) * (z.ndim - 1) + (subs,))
-    _, best_words, _ = _select_width(exceed_counts(zs), pw)
+    _, best_words, _, _ = _select_width(exceed_counts(zs), pw)
     return jnp.sum(best_words, axis=-1)
 
 
@@ -248,7 +259,7 @@ def encode_vertical(
     # zs is already zeroed outside `valid`, so zero samples never count as
     # exceeding any plane; one smear+transpose+popcount pass replaces the
     # 33-reduction sweep (exceed_counts docstring).
-    best_b, best_words, best_exc = _select_width(exceed_counts(zs), pw)
+    best_b, best_words, best_exc, best_e = _select_width(exceed_counts(zs), pw)
     bit_len = 32 * jnp.sum(best_words, axis=1)
 
     # ---- bit planes: 32x32 bit-matrix transpose per word group ----
@@ -265,14 +276,27 @@ def encode_vertical(
     else:
         pos_words, vals = exc_extract_xla(zs, best_b)
 
+    # ---- exception values (FORMAT §2.2): raw layout when n_exc <= ceil(e/2),
+    # else bit-planed — value-plane p holds bit p of every value on its 16
+    # low bits, 2 planes per word. The same 32x32 bit transpose does the
+    # value transposition (vals j >= 16 are zero, so planes fit 16 bits).
+    vals32 = jnp.concatenate(
+        [vals, jnp.zeros((B, subs, 32 - EXC_CAP), jnp.uint32)], axis=2
+    )
+    vplanes = bit_transpose32(vals32)  # [B, S, 32]: word p bit j = val_j bit p
+    planed = vplanes[:, :, 0::2] | (vplanes[:, :, 1::2] << jnp.uint32(16))
+    raw_layout = best_exc <= (best_e + 1) // 2  # [B, S]
+    val_words = jnp.where(raw_layout[:, :, None], vals, planed)
+
     # ---- sync table + uniform payload region ----
-    entry = (best_b | (best_exc << 6)).astype(jnp.uint32)  # [B, S] u16 values
+    e_field = jnp.where(best_exc > 0, best_e - 1, 0)
+    entry = (best_b | (best_exc << 6) | (e_field << 11)).astype(jnp.uint32)
     if subs % 2:
         entry = jnp.pad(entry, ((0, 0), (0, 1)))
     ep = entry.reshape(B, -1, 2)
     sync = ep[:, :, 0] | (ep[:, :, 1] << jnp.uint32(16))  # [B, SW]
 
-    region = jnp.concatenate([plane_region, pos_words, vals], axis=2)
+    region = jnp.concatenate([plane_region, pos_words, val_words], axis=2)
     payload = jnp.concatenate(
         [sync, region.reshape(B, subs * REGION_WORDS)], axis=1
     )
@@ -312,12 +336,23 @@ def decode_vertical(
     hi = (sync >> jnp.uint32(16)).astype(jnp.int32)
     entries = jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :subs]
     b = (entries & 0x3F).astype(jnp.uint32)       # [B, S]
-    n_exc = entries >> 6                          # [B, S]
+    n_exc = (entries >> 6) & 0x1F                 # [B, S]
 
     region = payload[:, SW:].reshape(B, subs, REGION_WORDS)
     plane_words = region[:, :, :PLANE_REGION].reshape(B, subs, 32, 4)
     pos_words = region[:, :, PLANE_REGION : PLANE_REGION + POS_REGION]
-    vals = region[:, :, PLANE_REGION + POS_REGION :]
+    val_words = region[:, :, PLANE_REGION + POS_REGION :]
+
+    # exception values (FORMAT §2.2): raw layout when n_exc <= ceil(e/2),
+    # else bit-planed — unpack the 16-bit halves into 32 planes, transpose
+    # back to values. Planes past e are zero-staged; no masking on e needed.
+    e = jnp.where(n_exc > 0, ((entries >> 11) & 0x1F) + 1, 0)
+    vplanes = jnp.stack(
+        [val_words & jnp.uint32(0xFFFF), val_words >> jnp.uint32(16)], axis=3
+    ).reshape(B, subs, 32)
+    planed_vals = bit_transpose32(vplanes)[:, :, :EXC_CAP]
+    raw_layout = n_exc <= (e + 1) // 2
+    vals = jnp.where(raw_layout[:, :, None], val_words, planed_vals)
 
     # planes -> z: the same 32x32 bit transpose (self-inverse); zero-staged
     # planes (p >= b) contribute zero bits, so no masking is needed and

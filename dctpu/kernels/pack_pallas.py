@@ -184,6 +184,11 @@ def _left_lens(length_p: jnp.ndarray, P: int) -> List[jnp.ndarray]:
     return out
 
 
+BATCH_ROWS = 1024  # lax.map chunk: XLA pass time on the wrapper ops grows
+                   # superlinearly with B (562 s at B=8192 vs 175 s at B=16,
+                   # measured); mapping fixed chunks bounds compile at any B
+
+
 def pack_pallas(
     code_lo: jnp.ndarray,  # [B, L] u32
     code_hi: jnp.ndarray,  # [B, L] u32
@@ -193,6 +198,39 @@ def pack_pallas(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as pack_xla: (payload [B, W] incl. sync table, bit_len [B])."""
+    B = code_lo.shape[0]
+    if B > BATCH_ROWS:
+        Bp = (B + BATCH_ROWS - 1) // BATCH_ROWS * BATCH_ROWS
+        pad = ((0, Bp - B), (0, 0))
+
+        def padto(a):
+            return jnp.pad(a, pad) if Bp != B else a
+
+        G = Bp // BATCH_ROWS
+
+        def body(args):
+            return _pack_pallas_rows(*args, block_len, interpret)
+
+        payload, bit_len = jax.lax.map(
+            body,
+            tuple(
+                padto(a).reshape(G, BATCH_ROWS, -1)
+                for a in (code_lo, code_hi, length, valid)
+            ),
+        )
+        return payload.reshape(Bp, -1)[:B], bit_len.reshape(Bp)[:B]
+    return _pack_pallas_rows(code_lo, code_hi, length, valid, block_len,
+                             interpret)
+
+
+def _pack_pallas_rows(
+    code_lo: jnp.ndarray,
+    code_hi: jnp.ndarray,
+    length: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_len: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, L = code_lo.shape
     SW = sync_words(block_len)
     Wbits = padded_words(block_len) - SW

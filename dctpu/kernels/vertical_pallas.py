@@ -131,7 +131,11 @@ def _encode_exc_kernel(z_ref, b_ref, pos_ref, val_ref):
     acc = is_exc.astype(jnp.int32)
     k = 1
     while k < SUB_BLOCK:
-        acc = acc + jnp.where(lane >= k, pltpu.roll(acc, k, axis=1), 0)
+        # jnp.int32(0), not bare 0: a weak i64 constant sends this Mosaic's
+        # convert lowering into unbounded recursion (see unpack_pallas)
+        acc = acc + jnp.where(
+            lane >= k, pltpu.roll(acc, k, axis=1), jnp.int32(0)
+        )
         k *= 2
     rank = acc - 1
 

@@ -59,12 +59,12 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
 
     # ---- real encode output (correctness + decode staging) ----
     t0 = time.time()
-    enc = encode_blocks(xd, nd, hd, cfg, "xla")
+    enc = encode_blocks(xd, nd, hd, cfg, "auto")
     bl = np.asarray(enc.bit_len)
     log(f"[{coder}] encode compile+first: {time.time()-t0:.1f}s")
 
     def enc_stage(x, n, h, salt):
-        e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "xla")
+        e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "auto")
         return e.bit_len, e.payload[:, :1]
 
     t0 = time.time()
@@ -87,7 +87,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     tc_rice = jnp.asarray((-(-wc // ragged.RICE_TILE)).astype(np.int32))
 
     def enc_pipe(x, n, h, tc_dev, salt):
-        e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "xla")
+        e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "auto")
         if coder == "vertical":
             words, _ = ragged.compact_vertical_semi(e.payload, L, total_tiles)
         else:
@@ -129,7 +129,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
 
         dec_buf = buf_bucket(max_sub_bits_host(words, off, L))
         padded = ragged.stage_rice_scan_device(flat_d, off_d, L, dec_buf)
-        dec_backend = "scan"
+        dec_backend = "auto"
 
     coeffs = jnp.asarray(
         np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64)

@@ -1,0 +1,122 @@
+"""TPU lowering + bit-exactness smoke gate for every production entry point.
+
+MANDATORY before committing any kernel- or codec-touching change (SURVEY.md
+§4): round 2 landed two Mosaic/X64 lowering regressions that CPU tests cannot
+catch (all Pallas tests run interpret=True; the axon X64-rewrite and Mosaic
+op-menu only exist on the real backend). This gate:
+
+  1. jit-lowers AND compiles every production entry point for the current
+     backend at tiny geometry (encode_blocks rice+vertical, adaptive_select,
+     emit_blocks both groups, decode_blocks scan+vertical);
+  2. runs full compress -> write_frame -> read_frame -> decompress round
+     trips for all three coders on the device, asserting the frame bytes are
+     byte-identical to the scalar reference encoder and the decode is
+     bit-exact.
+
+Run:  python bench/tpu_smoke.py          # on the TPU (the real gate)
+      JAX_PLATFORMS=cpu python bench/tpu_smoke.py   # portable sanity check
+
+Exit code 0 = green. Prints one status line per check so a failure names the
+entry point that regressed.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from dctpu.codec import api as capi
+from dctpu.codec import scalar
+from dctpu.codec.decode import decode_blocks_body
+from dctpu.codec.encode import (
+    adaptive_select_body,
+    emit_blocks_body,
+    encode_blocks_body,
+)
+from dctpu.config import CodecConfig
+from dctpu.format.frame import read_frame, write_frame
+
+B, L = 8, 256  # tiny geometry: 2 sub-blocks per block, every path exercised
+
+
+def _status(name, t0):
+    print(f"  ok  {name}  ({time.time() - t0:.1f}s)", flush=True)
+
+
+def _compile(name, fn, *args, static=()):  # lower+compile, the real gate
+    t0 = time.time()
+    jax.jit(fn, static_argnames=static).lower(*args).compile()
+    _status(f"compile {name}", t0)
+
+
+def _corpus(rng):
+    """Mixed content: smooth ramps, spikes, full-range, short tail block."""
+    base = np.cumsum(rng.integers(-50, 51, size=B * L - 37), dtype=np.int32)
+    spikes = rng.integers(0, B * L - 37, size=17)
+    base[spikes] = rng.integers(-(2**30), 2**30, size=17).astype(np.int32)
+    return base
+
+
+def main() -> int:
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          flush=True)
+    rng = np.random.default_rng(7)
+    x = rng.integers(-1000, 1000, size=(B, L), dtype=np.int32)
+    n = np.full(B, L, np.int32)
+    n[-1] = 57  # ragged tail
+    hist = np.zeros((B, 4), np.int32)
+    xj, nj, hj = jnp.asarray(x), jnp.asarray(n), jnp.asarray(hist)
+
+    cfg_r = CodecConfig(block_len=L, coder="rice")
+    cfg_v = CodecConfig(block_len=L, coder="vertical")
+
+    # ---- 1. lowering gate on the production jit bodies -------------------
+    _compile("encode_blocks[rice]", encode_blocks_body, xj, nj, hj, cfg_r,
+             static=("cfg", "backend"))
+    _compile("encode_blocks[vertical]", encode_blocks_body, xj, nj, hj,
+             cfg_v, static=("cfg", "backend"))
+    _compile("adaptive_select", adaptive_select_body, xj, nj, hj, cfg_r,
+             static=("cfg",))
+    choice = jnp.zeros(B, jnp.int32)
+    kz = jnp.zeros(B, jnp.int32)
+    _compile("emit_blocks[rice]", emit_blocks_body, xj, nj, hj, choice, kz,
+             cfg_r, "rice", static=("cfg", "coder", "backend"))
+    _compile("emit_blocks[vertical]", emit_blocks_body, xj, nj, hj, choice,
+             kz, cfg_v, "vertical", static=("cfg", "coder", "backend"))
+
+    # decode entry points: stage a real frame so shapes/buf_words are honest
+    for coder, cfg in (("rice", cfg_r), ("vertical", cfg_v)):
+        fr = capi.compress([_corpus(rng)], cfg)
+        t0 = time.time()
+        out = capi.decompress(fr)  # device-staged path incl. unpack kernels
+        _status(f"decompress[{coder}] device path", t0)
+        del out
+
+    # ---- 2. byte-exactness: device frames == scalar reference frames ----
+    streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]
+    for coder in ("rice", "vertical", "adaptive"):
+        cfg = CodecConfig(block_len=L, coder=coder)
+        t0 = time.time()
+        fb_dev = write_frame(capi.compress(streams, cfg))
+        fb_ref = write_frame(scalar.scalar_compress(streams, cfg))
+        assert fb_dev == fb_ref, (
+            f"{coder}: device frame != scalar reference frame "
+            f"({len(fb_dev)} vs {len(fb_ref)} bytes)"
+        )
+        back = capi.decompress(read_frame(fb_dev))
+        for got, want in zip(back, streams):
+            assert np.array_equal(got, want), f"{coder}: decode not bit-exact"
+        _status(f"round-trip[{coder}] byte-eq vs scalar", t0)
+
+    print("SMOKE GATE GREEN", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

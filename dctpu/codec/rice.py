@@ -82,17 +82,21 @@ def choose_k_planes(
 
       P[p] = popcount of bit-plane p           (one 32x32 bit transpose)
       E[m] = #{t : bitlen(z_t) > m}            (transpose of the OR-smear)
-      S_m  = sum_t (z_t >> m) = sum_{p>=m} 2^(p-m) P[p]
 
     Escape at k  <=>  q = z>>k >= 16  <=>  bitlen > k+4, so the escaped
-    samples are exactly those counted by E[k+4], and their q-sum is
-    16*S_{k+4} + R_k with R_k = sum_{j<4} 2^j * #{bit_{k+j} set & bitlen >
-    k+4} (4 tiny plane&smear popcounts per k). Exact total coded bits:
+    samples are exactly those counted by E[k+4]. A non-escaped sample t has
+    q_t = (z_t >> k) & 15, and summing that over ALL samples gives
+    D_k = sum_t ((z_t>>k) & 15) = sum_{j<4} 2^j * P[k+j]; subtracting the
+    escaped samples' share R_k = sum_{j<4} 2^j * #{bit_{k+j} set & bitlen >
+    k+4} (4 tiny plane&smear popcounts per k) leaves exactly the non-escape
+    q-sum. Exact total coded bits, all int32 (totals < 2^26 by the assert,
+    D_k <= 15n, no 64-bit ops — the axon X64-rewrite pass cannot handle s64
+    dot_general, and int64 is slow on the VPU anyway):
 
-      L(k) = 48*E[k+4] + (k+1)*(n - E[k+4]) + S_k - 16*S_{k+4} - R_k
+      L(k) = 48*E[k+4] + (k+1)*(n - E[k+4]) + D_k - R_k
 
     z: [..., L] u32 (any leading batch dims), n broadcastable [...] valid
-    counts. Returns (k [...], bits [...]) as int32/int64->int32 totals.
+    counts. Returns (k [...], bits [...]) int32.
     """
     from dctpu.constants import SUB_BLOCK, subs_per_block
     from dctpu.kernels.vertical_xla import _smear, bit_transpose32
@@ -119,40 +123,32 @@ def choose_k_planes(
     pc = jax.lax.population_count(pt).astype(jnp.int32)
     sc = jax.lax.population_count(st).astype(jnp.int32)
     # per-block tables: sum over sub and word axes -> [..., 32]
-    P = jnp.sum(pc, axis=(-3, -2)).astype(jnp.int64)
-    E = jnp.sum(sc, axis=(-3, -2)).astype(jnp.int64)
-
-    # S_m for m in [0, k_max+5): weights w[m, p] = 2^(p-m) for p >= m
-    m_axis = jnp.arange(k_max + 5, dtype=jnp.int32)[:, None]
-    p_axis = jnp.arange(32, dtype=jnp.int32)[None, :]
-    w = jnp.where(
-        p_axis >= m_axis, jnp.int64(1) << jnp.maximum(p_axis - m_axis, 0), 0
-    )
-    S = jnp.einsum("mp,...p->...m", w, P)  # [..., k_max+5] int64
+    P = jnp.sum(pc, axis=(-3, -2))
+    E = jnp.sum(sc, axis=(-3, -2))
 
     ks = jnp.arange(k_max + 1, dtype=jnp.int32)
+    # D_k = sum_{j<4} 2^j * P[k+j]: slice P so element k of each slice is
+    # P[k+j] (k+j <= k_max+3 <= 27 < 32 planes).
+    D = sum((1 << j) * P[..., j : j + k_max + 1] for j in range(4))
+
     # R_k: 4 plane&smear popcounts per k (tiny: static slices of pt/st)
     R = []
     for k in range(k_max + 1):
-        acc = jnp.zeros(lead, jnp.int64)
+        acc = jnp.zeros(lead, jnp.int32)
         for j in range(4):
             both = pt[..., :, :, k + j] & st[..., :, :, k + 4]
             cnt = jnp.sum(
                 jax.lax.population_count(both).astype(jnp.int32), axis=(-2, -1)
             )
-            acc = acc + (jnp.int64(1) << j) * cnt.astype(jnp.int64)
+            acc = acc + (1 << j) * cnt
         R.append(acc)
     R = jnp.stack(R, axis=-1)  # [..., K+1]
 
-    n64 = jnp.asarray(n).astype(jnp.int64)[..., None]
-    Ek4 = jnp.stack([E[..., k + 4] for k in range(k_max + 1)], axis=-1)
-    Sk = S[..., : k_max + 1]
-    Sk4 = S[..., 4 : k_max + 5]
-    k64 = ks.astype(jnp.int64)
+    n32 = jnp.asarray(n).astype(jnp.int32)[..., None]
+    Ek4 = E[..., 4 : k_max + 5]
     totals = (
-        48 * Ek4 + (k64 + 1) * (n64 - Ek4) + Sk - 16 * Sk4 - R
-    )  # [..., K+1] exact coded bits
-    totals = totals.astype(jnp.int32)
+        48 * Ek4 + (ks + 1) * (n32 - Ek4) + D - R
+    )  # [..., K+1] exact coded bits, int32
     key = jnp.min(totals * 32 + ks, axis=-1)
     return (key & 31).astype(jnp.int32), key >> 5
 

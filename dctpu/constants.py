@@ -1,7 +1,9 @@
 """Frozen DCF1 format constants. Normative source: docs/FORMAT.md."""
 
 MAGIC = b"DCF1"
-VERSION = 1
+VERSION = 2  # v2: VERTICAL sync entry gained the (e-1)<<11 field; exception
+# values may be bit-planed (FORMAT §2.2). v1 vertical frames would silently
+# mis-decode (ADVICE r2), so readers reject them loudly.
 
 RAW_MAGIC = b"DCR1"
 

@@ -39,7 +39,7 @@ def encode_blocks_sharded(
     history: jnp.ndarray,  # [B, 4]
     cfg: CodecConfig,
     mesh: Mesh,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> EncodedBlocks:
     body = functools.partial(encode_blocks_body, cfg=cfg, backend=backend)
     sharded = shard_map(
@@ -73,7 +73,7 @@ def decode_blocks_sharded(
     block_len: int,
     has_lpc: bool,
     mesh: Mesh,
-    backend: str = "xla",
+    backend: str = "auto",
     coder: str = "rice",
     max_planes: int = 32,
     buf_words: int = 0,
@@ -126,7 +126,7 @@ def adaptive_select_sharded(
 def emit_blocks_sharded(
     x: jnp.ndarray, n: jnp.ndarray, history: jnp.ndarray,
     choice: jnp.ndarray, k: jnp.ndarray,
-    cfg: CodecConfig, coder: str, mesh: Mesh, backend: str = "xla",
+    cfg: CodecConfig, coder: str, mesh: Mesh, backend: str = "auto",
 ) -> EncodedBlocks:
     """shard_map wrapper of the forced-selection group emission (§4.1)."""
     from dctpu.codec.encode import emit_blocks_body
@@ -183,7 +183,7 @@ def compress_sharded(
             emit_fn=lambda x, n, h, ch, k, coder: emit_blocks_sharded(
                 jnp.asarray(x), jnp.asarray(n), jnp.asarray(h),
                 jnp.asarray(ch), jnp.asarray(k),
-                cfg, coder, mesh, backend or "xla",
+                cfg, coder, mesh, backend or "auto",
             ),
             round_to=ndev,
         )
@@ -202,7 +202,7 @@ def compress_sharded(
             capi._pad_chunk(hist[c0:c1], size),
             cfg,
             mesh,
-            backend or "xla",
+            backend or "auto",
         )
         m = c1 - c0
         preds.append(np.asarray(enc.predictor[:m]))
@@ -253,86 +253,28 @@ def decompress_sharded(
     chunk_blocks: int = 2048,
     backend: str | None = None,
 ) -> List[np.ndarray]:
+    """Sharded decompress: codec.api.decompress staging (incl. the default
+    device-resident ragged staging — only compressed bytes cross the host
+    link) with the shard_map decoder; byte-identical to the serial path."""
     from dctpu.codec import api as capi
-    from dctpu.constants import LPC
     from dctpu.dist.mesh import make_mesh
 
-    from dctpu.constants import CODER_VERTICAL
-
     mesh = mesh or make_mesh()
-    ndev = mesh.devices.size
-    L = frame.block_len
-    B = frame.blocks.num_blocks
-    coders = frame.blocks.coder_arr()
-    coeffs = (
-        np.array([t.coeffs for t in frame.tables], dtype=np.int64).reshape(-1, 4)
-        if frame.tables
-        else np.zeros((1, 4), np.int64)
+
+    def decode_fn(
+        payload, k, n, predictor, table_idx, history, coeffs,
+        block_len, has_lpc, grp_backend, coder, max_planes, buf_words,
+    ):
+        return decode_blocks_sharded(
+            payload, k, n, predictor, table_idx, history, coeffs,
+            block_len, has_lpc, mesh, grp_backend, coder, max_planes,
+            buf_words,
+        )
+
+    return capi.decompress(
+        frame,
+        chunk_blocks=chunk_blocks,
+        backend=backend,
+        decode_fn=decode_fn,
+        round_to=mesh.devices.size,
     )
-    chunk = _round_up(chunk_blocks, ndev)
-
-    xs = np.zeros((B, L), dtype=np.int32)
-    for coder_id in np.unique(coders) if B else []:
-        idx = np.nonzero(coders == coder_id)[0]
-        coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
-        buf_words = 0
-        grp_backend = backend or "xla"
-        if coder == "rice" and backend in (None, "scan"):
-            # shift-buffer decode path (kernels/unpack_scan.py), the default
-            from dctpu.kernels.unpack_scan import (
-                buf_bucket,
-                max_sub_bits_host,
-                stage_rice_scan,
-            )
-
-            if idx.size == B:
-                words = frame.payload_words
-                off = frame.blocks.word_offsets(L)
-            else:
-                words, off = capi._subset_disk_words(frame, idx)
-            buf_words = buf_bucket(max_sub_bits_host(words, off, L))
-            padded = stage_rice_scan(words, off, L, buf_words)
-            grp_backend = "scan"
-        elif idx.size == B:
-            padded, coder = capi.stage_frame_payload(frame)
-        else:  # mixed-coder frame: stage this coder's subset
-            padded = capi._stage_block_subset(frame, idx, int(coder_id))
-        max_planes = 32
-        if coder == "vertical":
-            from dctpu.codec.vertical_host import max_plane_width
-            from dctpu.kernels.vertical_xla import plane_bucket
-
-            max_planes = plane_bucket(max_plane_width(padded, L))
-        has_lpc = bool(np.any(frame.blocks.predictor[idx] == LPC))
-        G = idx.size
-        for c0 in range(0, G, chunk):
-            c1 = min(c0 + chunk, G)
-            sel = idx[c0:c1]
-            size = chunk if G > chunk else _round_up(max(G, 1), ndev)
-            out = decode_blocks_sharded(
-                capi._pad_chunk(padded[c0:c1], size),
-                capi._pad_chunk(frame.blocks.k[sel].astype(np.int32), size),
-                capi._pad_chunk(frame.blocks.n[sel].astype(np.int32), size),
-                capi._pad_chunk(
-                    frame.blocks.predictor[sel].astype(np.int32), size
-                ),
-                capi._pad_chunk(
-                    frame.blocks.table_idx[sel].astype(np.int32), size
-                ),
-                capi._pad_chunk(frame.blocks.history[sel], size),
-                coeffs,
-                L,
-                has_lpc,
-                mesh,
-                grp_backend,
-                coder,
-                max_planes,
-                buf_words,
-            )
-            xs[sel] = np.asarray(out[: c1 - c0])
-
-    out_streams = []
-    for s in frame.streams:
-        flat = xs[s.first_block : s.first_block + s.num_blocks].reshape(-1)
-        out_streams.append(flat[: s.num_samples].copy())
-    return out_streams

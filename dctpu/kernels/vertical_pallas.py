@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -24,6 +25,10 @@ from dctpu.constants import EXC_CAP, SUB_BLOCK
 from dctpu.kernels.vertical_xla import PLANE_REGION, POS_REGION, REGION_WORDS
 
 TR = 256  # sub-block rows per grid program
+
+# i32 zero for index maps: a bare 0 returns a weak i64 under jax_enable_x64,
+# which this Mosaic cannot legalize in the index-map func.return.
+_I0 = np.int32(0)
 
 
 def _decode_kernel(region_ref, b_ref, nexc_ref, e_ref, count_ref, z_ref, *,
@@ -131,26 +136,33 @@ def _encode_exc_kernel(z_ref, b_ref, pos_ref, val_ref):
     acc = is_exc.astype(jnp.int32)
     k = 1
     while k < SUB_BLOCK:
-        # jnp.int32(0), not bare 0: a weak i64 constant sends this Mosaic's
-        # convert lowering into unbounded recursion (see unpack_pallas)
+        # jnp.int32 everywhere, no bare Python ints: a weak i64 constant sends
+        # this Mosaic's convert lowering into unbounded recursion (see
+        # unpack_pallas), and a bare roll amount lowers to an i64
+        # tpu.dynamic_rotate operand, which fails MLIR verification.
         acc = acc + jnp.where(
-            lane >= k, pltpu.roll(acc, k, axis=1), jnp.int32(0)
+            lane >= k, pltpu.roll(acc, jnp.int32(k), axis=1), jnp.int32(0)
         )
         k *= 2
     rank = acc - 1
 
+    # The masked sums select exactly one lane per (row, j) — at most one lane
+    # has rank == j — so summing in int32 and bitcasting back to uint32 is
+    # bit-identical (and mod-2^32 sums would be anyway). This Mosaic cannot
+    # lower reductions over unsigned ints (BENCH_r02 regression); u32<->i32
+    # astype is a plain bitcast and lowers fine (cf. _decode_kernel).
     vals = []
     for j in range(EXC_CAP):
         m = is_exc & (rank == j)
         vals.append(
             jnp.sum(
-                jnp.where(m, high, jnp.uint32(0)),
+                jnp.where(m, high, jnp.uint32(0)).astype(jnp.int32),
                 axis=1,
                 keepdims=True,
-                dtype=jnp.uint32,
+                dtype=jnp.int32,  # explicit: x64 mode would promote to i64
             )
         )
-    val_ref[:, :] = jnp.concatenate(vals, axis=1)
+    val_ref[:, :] = jnp.concatenate(vals, axis=1).astype(jnp.uint32)
 
     byte_sh = ((rank & 3) << 3).astype(jnp.uint32)
     contrib = jnp.where(is_exc, lane.astype(jnp.uint32) << byte_sh, jnp.uint32(0))
@@ -159,13 +171,13 @@ def _encode_exc_kernel(z_ref, b_ref, pos_ref, val_ref):
         sel = is_exc & ((rank >> 2) == mw)
         poss.append(
             jnp.sum(
-                jnp.where(sel, contrib, jnp.uint32(0)),
+                jnp.where(sel, contrib, jnp.uint32(0)).astype(jnp.int32),
                 axis=1,
                 keepdims=True,
-                dtype=jnp.uint32,
+                dtype=jnp.int32,
             )
         )
-    pos_ref[:, :] = jnp.concatenate(poss, axis=1)
+    pos_ref[:, :] = jnp.concatenate(poss, axis=1).astype(jnp.uint32)
 
 
 def exc_extract_pallas(
@@ -188,12 +200,12 @@ def exc_extract_pallas(
         _encode_exc_kernel,
         grid=(Rp // TR,),
         in_specs=[
-            pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TR, POS_REGION), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, EXC_CAP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, POS_REGION), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, EXC_CAP), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Rp, POS_REGION), jnp.uint32),
@@ -226,13 +238,13 @@ def decode_vertical_pallas(
         functools.partial(_decode_kernel, max_planes=max_planes),
         grid=(Rp // TR,),
         in_specs=[
-            pl.BlockSpec((TR, REGION_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, REGION_WORDS), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, SUB_BLOCK), jnp.uint32),
         interpret=interpret,
     )(

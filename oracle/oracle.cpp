@@ -31,7 +31,7 @@ static inline uint32_t subs_per_block(uint32_t L) { return (L + SUB_BLOCK - 1) /
 static inline uint32_t sync_word_count(uint32_t L) { return (subs_per_block(L) + 1) / 2; }
 static constexpr int HISTORY_LEN = 4;
 static constexpr int LPC_SHIFT = 16;
-static constexpr uint16_t DCF_VERSION = 1;
+static constexpr uint16_t DCF_VERSION = 2;  // v2: vertical sync e-field + bit-planed exception values
 
 enum Predictor : uint8_t { DELTA = 0, DOUBLE_DELTA = 1, LPC = 2 };
 enum Coder : uint8_t { CODER_RICE = 0, CODER_VERTICAL = 1 };

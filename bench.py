@@ -80,10 +80,22 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     if coder == "vertical":
         wc = sync_words(L) + bl.astype(np.int64) // 32
         SWT = -(-sync_words(L) // ragged.VERT_TILE)
-        total_tiles = B * (SWT + subs_per_block(L) * (ragged.REGION_PAD // ragged.VERT_TILE))
+        S = subs_per_block(L)
+        # bucketed live cap, as compact_enc_payload_device sizes it — the
+        # full B*(SWT+S*RPT) cap gathers 4x the live tiles (profile_compact)
+        ub = B * SWT + B * S + -(-int(bl.sum()) // 32 // ragged.VERT_TILE)
+        total_tiles = min(
+            ragged.tile_bucket(ub),
+            B * (SWT + S * (ragged.REGION_PAD // ragged.VERT_TILE)),
+        )
     else:
         wc = payload_word_counts(bl, L)
-        total_tiles = B * (-(-W // ragged.RICE_TILE))
+        total_tiles = min(
+            ragged.tile_bucket(
+                int((-(-wc // ragged.RICE_TILE)).sum())
+            ),
+            B * (-(-W // ragged.RICE_TILE)),
+        )
     tc_rice = jnp.asarray((-(-wc // ragged.RICE_TILE)).astype(np.int32))
 
     def enc_pipe(x, n, h, tc_dev, salt):
@@ -123,7 +135,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     off_d = jnp.asarray(off.astype(np.int32))
     if coder == "vertical":
         padded = ragged.stage_vertical_device(flat_d, off_d, L)
-        dec_backend, dec_buf = "xla", 0
+        dec_backend, dec_buf = "auto", 0
     else:
         from dctpu.kernels.unpack_scan import buf_bucket, max_sub_bits_host
 
@@ -191,7 +203,8 @@ def _bench_end_to_end(streams, raw_bytes, coder):
     frame = capi.compress(streams, cfg)
     data = write_frame(frame)
     e2e_t = time.time() - t0
-    t0 = time.time()
+    capi.decompress(frame)  # warm decode compiles too (they are minutes on
+    t0 = time.time()        # this rig's remote compiler — round-3 fix)
     out = capi.decompress(frame)
     d2e_t = time.time() - t0
     ok = all(np.array_equal(a, b) for a, b in zip(streams, out))
@@ -246,6 +259,27 @@ def main():
         traceback.print_exc(file=sys.stderr)
         error = f"{type(e).__name__}: {e}"
 
+    # ---- floor check (SURVEY §4 perf-regression tier, the checking half) ----
+    violations = []
+    if not error:
+        try:
+            floors = json.load(open("bench/floors.json"))["tpu_gbps_floor"]
+            measured = {
+                "vertical_enc_kernel": results["vertical"]["enc_kernel_gbps"],
+                "vertical_enc_pipeline": results["vertical"]["enc_pipeline_gbps"],
+                "vertical_dec_kernel": results["vertical"]["dec_kernel_gbps"],
+                "rice_enc_kernel": results["rice"]["enc_kernel_gbps"],
+            }
+            for key, floor in floors.items():
+                got = measured.get(key)
+                if got is not None and got < floor:
+                    violations.append(f"{key}={got:.3f}<{floor}")
+            if violations:
+                log(f"FLOOR VIOLATIONS: {violations}")
+        except Exception as fe:  # floors file problems must be loud, not fatal
+            violations.append(f"floor-check-failed: {fe}")
+        results["floor_violations"] = violations
+
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=1)
 
@@ -258,6 +292,8 @@ def main():
     }
     if error:
         line["error"] = error
+    if violations:
+        line["floor_violations"] = violations
     print(json.dumps(line))
     sys.exit(1 if error else 0)
 

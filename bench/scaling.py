@@ -33,7 +33,9 @@ import re
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pins jax_platforms='axon,cpu' at interpreter
+# startup, so env-var setdefault is not enough (same dance as tests/conftest)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -41,6 +43,9 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -134,6 +139,50 @@ def main():
             f"collectives: {colls or 'none'}",
             file=sys.stderr,
         )
+
+    # ---- contention control (round-2 VERDICT weak #5) ----
+    # The weak-scaling efficiency above collapses on the fake mesh. To
+    # separate CPU-core sharing from hidden serialization, run the SAME
+    # TOTAL work unsharded on ONE fake device (XLA CPU already multithreads
+    # a single device across every host core) and compare. If
+    # mesh8_time ~= single_device_time for identical total work, the
+    # sharded program adds no overhead on identical silicon and the
+    # weak-scaling "loss" is purely that fake devices share cores —
+    # the quantity that transfers to real chips is this overhead ratio,
+    # not the fake-mesh efficiency.
+    from dctpu.codec.encode import encode_blocks
+
+    last = results["mesh"][-1]
+    ndev = last["ndev"]
+    B = PER_DEV_BLOCKS * ndev
+    streams, _, _ = synth_corpus(
+        max(2, ndev), B * L // max(2, ndev), seed=123, mixed_cadence=True
+    )
+    x, n, hist, _, _ = capi.build_blocks(streams, L)
+    x, n, hist = x[:B], n[:B], hist[:B]
+    xd, nd, hd = jnp.asarray(x), jnp.asarray(n), jnp.asarray(hist)
+    enc = encode_blocks(xd, nd, hd, cfg, "xla")
+    jax.block_until_ready(enc.payload)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        enc = encode_blocks(xd, nd, hd, cfg, "xla")
+        jax.block_until_ready(enc.payload)
+    single_dt = (time.perf_counter() - t0) / reps
+    overhead = last["encode_s"] / single_dt
+    results["contention_control"] = {
+        "total_blocks": B,
+        "single_device_s": round(single_dt, 4),
+        "mesh8_s": last["encode_s"],
+        "sharded_overhead_ratio": round(overhead, 3),
+        "host_cores": os.cpu_count(),
+    }
+    print(
+        f"contention control: same {B} blocks unsharded 1-dev "
+        f"{single_dt*1e3:.1f} ms vs mesh{ndev} {last['encode_s']*1e3:.1f} ms "
+        f"-> sharded overhead {overhead:.2f}x (host cores: {os.cpu_count()})",
+        file=sys.stderr,
+    )
 
     # decode collective inventory at the largest mesh
     ndev = results["mesh"][-1]["ndev"]

@@ -22,6 +22,9 @@ entry point that regressed.
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
 import sys
 import time
 
@@ -30,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+_CHECKS = []  # (name, seconds) — dumped to bench/logs/ as the on-chip ledger
 
 from dctpu.codec import api as capi
 from dctpu.codec import scalar
@@ -46,7 +51,37 @@ B, L = 8, 256  # tiny geometry: 2 sub-blocks per block, every path exercised
 
 
 def _status(name, t0):
-    print(f"  ok  {name}  ({time.time() - t0:.1f}s)", flush=True)
+    dt = time.time() - t0
+    _CHECKS.append((name, round(dt, 1)))
+    print(f"  ok  {name}  ({dt:.1f}s)", flush=True)
+
+
+def _write_ledger():
+    """Commit-addressed artifact backing every 'verified on chip' claim
+    (round-2 VERDICT: on-chip status must cite a committed artifact)."""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    os.makedirs("bench/logs", exist_ok=True)
+    path = f"bench/logs/tpu_smoke_{commit}.json"
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "commit": commit,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "checks": [{"name": n, "seconds": s} for n, s in _CHECKS],
+                "green": True,
+            },
+            f,
+            indent=1,
+        )
+    print(f"ledger: {path}", flush=True)
 
 
 def _compile(name, fn, *args, static=()):  # lower+compile, the real gate
@@ -114,6 +149,7 @@ def main() -> int:
             assert np.array_equal(got, want), f"{coder}: decode not bit-exact"
         _status(f"round-trip[{coder}] byte-eq vs scalar", t0)
 
+    _write_ledger()
     print("SMOKE GATE GREEN", flush=True)
     return 0
 

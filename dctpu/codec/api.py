@@ -203,7 +203,19 @@ def compact_enc_payload_device(
         SW = sync_words(L)
         SWT = -(-SW // ragged.VERT_TILE)
         RPT = ragged.REGION_PAD // ragged.VERT_TILE
-        total_tiles = B * (SWT + S * RPT)
+        # host upper bound on live tiles from bit_len: per block SWT sync
+        # tiles + ceil-per-sub body tiles <= ceil(body_words/TILE) + S - 1.
+        # Bucketed so the gather never pays for dead capacity (the full
+        # B*(SWT+S*RPT) cap measured 4x slower; bench/profile_compact.py).
+        body_words = int(np.asarray(bit_len, dtype=np.int64).sum()) // 32
+        ub = (
+            B * SWT
+            + nb * S
+            + -(-body_words // ragged.VERT_TILE)
+        )
+        total_tiles = min(
+            ragged.tile_bucket(ub), B * (SWT + S * RPT)
+        )
         semi_d, wc_sub_d = ragged.compact_vertical_semi(
             payload_dev, L, total_tiles
         )
@@ -221,7 +233,11 @@ def compact_enc_payload_device(
     wc = payload_word_counts(bit_len, L)
     tc_h = np.zeros(B, np.int64)
     tc_h[:nb] = -(-wc // ragged.RICE_TILE)
-    total_tiles = B * (-(-W // ragged.RICE_TILE))
+    # exact live tile count is host-known for rice; bucket the gather cap
+    total_tiles = min(
+        ragged.tile_bucket(int(tc_h.sum())),
+        B * (-(-W // ragged.RICE_TILE)),
+    )
     semi_d = ragged.compact_rice_semi(
         payload_dev, jnp.asarray(tc_h.astype(np.int32)), total_tiles
     )
@@ -490,7 +506,7 @@ def decompress(
         idx = np.nonzero(coders == coder_id)[0]
         coder = "vertical" if coder_id == CODER_VERTICAL else "rice"
         buf_words = 0
-        grp_backend = backend or "xla"
+        grp_backend = backend or "auto"
         if device_stage:
             import jax.numpy as jnp
 
@@ -532,7 +548,7 @@ def decompress(
                 grp_backend = "auto"
             else:
                 padded = ragged.stage_vertical_device(words_d, goff_d, L)
-                grp_backend = "xla"
+                grp_backend = "auto"
         elif coder == "rice" and use_scan:
             from dctpu.kernels.unpack_scan import (
                 buf_bucket,

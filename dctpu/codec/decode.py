@@ -33,9 +33,19 @@ def decode_blocks_body(
     buf_words: int = 0,
 ) -> jnp.ndarray:
     if coder == "vertical":
-        from dctpu.kernels.vertical_xla import decode_vertical
+        # "auto" on TPU runs the compiled Pallas sub-block decoder (all
+        # rank/plane passes VMEM-resident); the XLA twin is the portable
+        # fallback and the forced choice for backend="xla".
+        if backend == "pallas" or (
+            backend == "auto" and jax.default_backend() == "tpu"
+        ):
+            from dctpu.kernels.vertical_pallas import decode_vertical_staged
 
-        z = decode_vertical(payload, n, block_len, max_planes)
+            z = decode_vertical_staged(payload, n, block_len, max_planes)
+        else:
+            from dctpu.kernels.vertical_xla import decode_vertical
+
+            z = decode_vertical(payload, n, block_len, max_planes)
     else:
         z = kernels.unpack(
             payload, k, n, block_len, backend, buf_words

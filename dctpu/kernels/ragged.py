@@ -59,6 +59,21 @@ def _cdiv(a, b):
     return (a + b - 1) // b
 
 
+def tile_bucket(live_tiles: int, floor: int = 1 << 16) -> int:
+    """Power-of-two output-capacity bucket for the segment-compact gather.
+
+    The gather in tile_segment_compact costs per OUTPUT index, so sizing
+    total_tiles at the full uncompressed capacity wastes ~4x at typical
+    ratios (measured on chip: 91 ms full-cap vs 23 ms live-cap at the 128
+    MiB bench geometry — bench/profile_compact.py). Power-of-two buckets
+    bound the number of compiled variants to ~log2(range).
+    """
+    cap = floor
+    while cap < live_tiles:
+        cap *= 2
+    return cap
+
+
 def exclusive_scan(wc: jnp.ndarray) -> jnp.ndarray:
     """[N] counts -> [N+1] exclusive offsets (int32)."""
     inc = jnp.cumsum(wc.astype(jnp.int32))
@@ -139,6 +154,13 @@ def squeeze_host(
         return np.zeros(0, np.uint32)
     dst_off = np.zeros(lens.size + 1, np.int64)
     np.cumsum(lens, out=dst_off[1:])
+
+    from dctpu import native
+
+    fast = native.squeeze(semi, src_off.astype(np.int64), dst_off)
+    if fast is not None:
+        return fast
+
     seg = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
     pos = np.arange(total, dtype=np.int64) - dst_off[seg]
     return semi[src_off.astype(np.int64)[seg] + pos]

@@ -49,13 +49,15 @@ def _decode_kernel(region_ref, b_ref, nexc_ref, e_ref, count_ref, z_ref, *,
     bi32 = b_ref[:, :]                                    # [TR, 1] i32
     nexc = nexc_ref[:, :]                                 # [TR, 1] i32
     b = bi32.astype(jnp.uint32)
-    # signed min: Mosaic cannot legalize vector arith.minui on this platform
-    bsh = jnp.minimum(bi32, 31).astype(jnp.uint32)
+    # signed min: Mosaic cannot legalize vector arith.minui on this platform.
+    # All scalar constants pinned to jnp.int32 — weak i64 constants (x64 mode)
+    # send this Mosaic's convert lowering into unbounded recursion.
+    bsh = jnp.minimum(bi32, jnp.int32(31)).astype(jnp.uint32)
     # exception values (FORMAT §2.2): raw words when n_exc <= ceil(e/2),
     # else bit-planed — value j collects bit p from the 16-bit half-plane p
     # (planes past e are zero-staged).
     ei = e_ref[:, :]  # [TR, 1] i32
-    raw_layout = nexc <= (ei + 1) // 2
+    raw_layout = nexc <= (ei + jnp.int32(1)) // jnp.int32(2)
     for j in range(EXC_CAP):
         v = jnp.zeros_like(z[:, :1])
         for p in range(32):
@@ -72,7 +74,7 @@ def _decode_kernel(region_ref, b_ref, nexc_ref, e_ref, count_ref, z_ref, *,
         val = jnp.where(raw_layout, raw, v)
         pw = region_ref[:, PLANE_REGION + j // 4 : PLANE_REGION + j // 4 + 1]
         pos = (pw >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
-        live = (jnp.int32(j) < nexc) & (bi32 < 32)
+        live = (jnp.int32(j) < nexc) & (bi32 < jnp.int32(32))
         onehot = (lane == pos) & live
         z = z | jnp.where(onehot, val << bsh, jnp.uint32(0))
 

@@ -56,6 +56,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dctpu_segment_scatter.argtypes = [
         _u32p, _i64p, ctypes.c_int64, _u32p, ctypes.c_int64,
     ]
+    lib.dctpu_squeeze.argtypes = [
+        _u32p, _i64p, _i64p, ctypes.c_int64, _u32p,
+    ]
     _lib = lib
     return _lib
 
@@ -106,6 +109,27 @@ def segment_gather(rows: np.ndarray, word_off: np.ndarray) -> Optional[np.ndarra
     out = np.zeros(int(word_off[-1]), dtype=np.uint32)
     if B:
         lib.dctpu_segment_gather(rows, B, W, word_off, out)
+    return out
+
+
+def squeeze(
+    semi: np.ndarray, src_off: np.ndarray, dst_off: np.ndarray
+) -> Optional[np.ndarray]:
+    """Concatenate semi[src_off[s] : src_off[s]+len[s]]; len = diff(dst_off).
+
+    OpenMP per-segment memcpy — replaces the numpy fancy-index squeeze
+    (which materializes three index arrays the size of the output).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    semi = np.ascontiguousarray(semi, dtype=np.uint32)
+    src_off = np.ascontiguousarray(src_off, dtype=np.int64)
+    dst_off = np.ascontiguousarray(dst_off, dtype=np.int64)
+    nseg = src_off.size
+    out = np.empty(int(dst_off[-1]), dtype=np.uint32)
+    if nseg:
+        lib.dctpu_squeeze(semi, src_off, dst_off, nseg, out)
     return out
 
 

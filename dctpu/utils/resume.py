@@ -57,15 +57,27 @@ class EncodeJob:
         streams: Sequence[np.ndarray],
         stream_ids: Sequence[int] | None = None,
         cadences: Sequence[int] | None = None,
+        attempts: int = 2,
     ) -> Path:
-        """Encode one part (skipped if already in the manifest)."""
-        from dctpu.codec import compress
+        """Encode one part (skipped if already in the manifest).
+
+        Failure detection (SURVEY.md §5): the encode of a part is retried
+        `attempts` times via with_retry — parts are independent work, so a
+        transient device/worker failure costs one part re-encode, nothing
+        distributed to repair.
+        """
+        import dctpu.codec as _codec
         from dctpu.format import write_frame
 
         path = self.workdir / f"part-{part_id}.dcf"
         if self.done(part_id) and path.exists():
             return path
-        frame = compress(streams, self.cfg, stream_ids=stream_ids, cadences=cadences)
+        frame = with_retry(
+            lambda: _codec.compress(
+                streams, self.cfg, stream_ids=stream_ids, cadences=cadences
+            ),
+            attempts=attempts,
+        )
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(write_frame(frame))
         os.replace(tmp, path)  # atomic: a part is either absent or complete

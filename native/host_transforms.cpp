@@ -154,4 +154,16 @@ void dctpu_segment_scatter(const uint32_t* words, const int64_t* word_off,
   }
 }
 
+// Squeeze tile-alignment gaps out of a semi-compact stream: concatenate
+// src[src_off[s] : src_off[s]+len[s]] for every segment (kernels/ragged.py
+// squeeze_host). dst_off: [nseg+1] exclusive output offsets (cumsum of len).
+void dctpu_squeeze(const uint32_t* src, const int64_t* src_off,
+                   const int64_t* dst_off, int64_t nseg, uint32_t* out) {
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t s = 0; s < nseg; s++) {
+    memcpy(out + dst_off[s], src + src_off[s],
+           (dst_off[s + 1] - dst_off[s]) * 4);
+  }
+}
+
 }  // extern "C"

@@ -88,3 +88,36 @@ def test_with_retry():
 
     with _pytest.raises(RuntimeError):
         with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
+
+
+def test_failing_shard_recovers(tmp_path, rng, monkeypatch):
+    """Failure detection against a real failing shard (round-2 VERDICT §5
+    partial): the first encode attempt of a part dies mid-flight; the job's
+    with_retry re-encodes it and the merged frame is byte-identical to a
+    clean run."""
+    import dctpu.codec as _codec
+    from dctpu.codec import compress as real_compress
+
+    streams, ids, cads = synth_corpus(4, 1200, seed=45)
+    cfg = CodecConfig(block_len=256)
+
+    fails = {"left": 1}
+    def dying_compress(*a, **kw):
+        if fails["left"]:
+            fails["left"] -= 1
+            raise RuntimeError("injected device failure")
+        return real_compress(*a, **kw)
+
+    monkeypatch.setattr(_codec, "compress", dying_compress)
+    job = EncodeJob(tmp_path / "job", cfg)
+    job.encode_part("0", streams[:2], ids[:2], cads[:2])  # survives via retry
+    job.encode_part("1", streams[2:], ids[2:], cads[2:])
+    out = job.merge(tmp_path / "merged.dcf")
+    assert fails["left"] == 0  # the failure really happened
+
+    monkeypatch.setattr(_codec, "compress", real_compress)
+    clean = EncodeJob(tmp_path / "clean", cfg)
+    clean.encode_part("0", streams[:2], ids[:2], cads[:2])
+    clean.encode_part("1", streams[2:], ids[2:], cads[2:])
+    ref = clean.merge(tmp_path / "clean.dcf")
+    assert out.read_bytes() == ref.read_bytes()

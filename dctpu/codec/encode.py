@@ -139,7 +139,9 @@ def encode_blocks_body(
         # (rice.choose_k_planes) fused per candidate.
         ks, bits = [], []
         for ci in range(C):
-            k_i, bits_i = rice.choose_k_planes(cand_z(ci), n, L, cfg.k_max)
+            k_i, bits_i = rice.choose_k_auto(
+                cand_z(ci), n, L, cfg.k_max, backend
+            )
             ks.append(k_i)
             bits.append(bits_i)
         k_c, bits_c = jnp.stack(ks), jnp.stack(bits)  # [C, B]
@@ -183,7 +185,7 @@ def adaptive_select_body(
     ks, rws, vws = [], [], []
     for ci in range(C):
         z_c = cand_z(ci)
-        k_i, bits_i = rice.choose_k_planes(z_c, n, L, cfg.k_max)
+        k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max)
         ks.append(k_i)
         rws.append((bits_i + 31) // 32)
         vws.append(vertical_total_words(z_c, valid, L))

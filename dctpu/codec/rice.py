@@ -153,6 +153,35 @@ def choose_k_planes(
     return (key & 31).astype(jnp.int32), key >> 5
 
 
+def choose_k_auto(
+    z: jnp.ndarray,
+    n: jnp.ndarray,
+    block_len: int,
+    k_max: int = K_MAX,
+    backend: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """choose_k_planes with a compiled Pallas fast path on TPU.
+
+    The Pallas kernel (kernels/select_pallas.py) computes the identical
+    exact totals in ONE VMEM-resident pass over z instead of ~10 HBM passes
+    (bench/profile_rice.py: the 6-candidate sweep was 119 of 151 ms of the
+    rice encode). backend="xla" forces the portable plane formulation.
+    """
+    use_pallas = backend.startswith("pallas") or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        return choose_k_planes(z, n, block_len, k_max)
+    from dctpu.kernels.select_pallas import rice_totals_pallas
+
+    assert k_max < 32 and k_max + 4 <= 28
+    assert block_len * MAX_CODE_BITS < 2**26  # packed-key bound
+    totals = rice_totals_pallas(z, n, block_len, k_max, interpret=False)
+    ks = jnp.arange(k_max + 1, dtype=jnp.int32)
+    key = jnp.min(totals * 32 + ks, axis=-1)
+    return (key & 31).astype(jnp.int32), key >> 5
+
+
 def codewords(z: jnp.ndarray, k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(code_lo u32, code_hi u32, length i32) per sample; 32-bit ops only.
 

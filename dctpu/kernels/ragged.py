@@ -60,18 +60,18 @@ def _cdiv(a, b):
 
 
 def tile_bucket(live_tiles: int, floor: int = 1 << 16) -> int:
-    """Power-of-two output-capacity bucket for the segment-compact gather.
+    """Output-capacity bucket for the segment-compact gather.
 
     The gather in tile_segment_compact costs per OUTPUT index, so sizing
     total_tiles at the full uncompressed capacity wastes ~4x at typical
     ratios (measured on chip: 91 ms full-cap vs 23 ms live-cap at the 128
-    MiB bench geometry — bench/profile_compact.py). Power-of-two buckets
-    bound the number of compiled variants to ~log2(range).
+    MiB bench geometry — bench/profile_compact.py). Buckets keep 2
+    significant bits (mantissa 4..7 x 2^k), bounding dead-gather waste to
+    25% while keeping the compiled-variant count ~4 log2(range).
     """
-    cap = floor
-    while cap < live_tiles:
-        cap *= 2
-    return cap
+    v = max(live_tiles, floor)
+    k = max(v.bit_length() - 3, 0)  # mantissa in [4, 8] after the ceil
+    return -(-v >> k) << k
 
 
 def exclusive_scan(wc: jnp.ndarray) -> jnp.ndarray:

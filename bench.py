@@ -269,6 +269,7 @@ def main():
                 "vertical_enc_pipeline": results["vertical"]["enc_pipeline_gbps"],
                 "vertical_dec_kernel": results["vertical"]["dec_kernel_gbps"],
                 "rice_enc_kernel": results["rice"]["enc_kernel_gbps"],
+                "rice_dec_kernel": results["rice"]["dec_kernel_gbps"],
             }
             for key, floor in floors.items():
                 got = measured.get(key)

@@ -133,6 +133,38 @@ def main() -> int:
         _status(f"decompress[{coder}] device path", t0)
         del out
 
+    # worst-case kernel parameterizations the tiny round trips above may not
+    # reach (BENCH r3 interim: TR=256 x max_planes=32 decode blew the 16 MB
+    # scoped-VMEM limit at bench geometry; per-program VMEM is independent
+    # of row count, so a small-R compile catches it)
+    from dctpu.kernels.vertical_pallas import (
+        decode_vertical_pallas,
+        region_pack_pallas,
+    )
+    from dctpu.kernels.select_pallas import rice_totals_pallas
+    from dctpu.constants import subs_per_block
+
+    S = subs_per_block(L)
+    R = B * S
+    regions = jnp.zeros((R, 148), jnp.uint32)
+    ids = jnp.zeros(R, jnp.int32)
+    for mp in (8, 16, 32):
+        t0 = time.time()
+        jax.jit(
+            lambda r, b_, ne, e_, c, mp=mp: decode_vertical_pallas(
+                r, b_, ne, e_, c, mp
+            )
+        ).lower(regions, ids, ids, ids, ids).compile()
+        _status(f"compile decode_vertical_pallas[max_planes={mp}]", t0)
+    t0 = time.time()
+    jax.jit(region_pack_pallas).lower(regions, ids, ids).compile()
+    _status("compile region_pack_pallas", t0)
+    t0 = time.time()
+    jax.jit(
+        lambda z, nn: rice_totals_pallas(z, nn, L, 24, interpret=False)
+    ).lower(jnp.zeros((B, L), jnp.uint32), nj).compile()
+    _status("compile rice_totals_pallas", t0)
+
     # ---- 2. byte-exactness: device frames == scalar reference frames ----
     streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]
     for coder in ("rice", "vertical", "adaptive"):

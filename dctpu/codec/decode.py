@@ -33,12 +33,13 @@ def decode_blocks_body(
     buf_words: int = 0,
 ) -> jnp.ndarray:
     if coder == "vertical":
-        # "auto" on TPU runs the compiled Pallas sub-block decoder (all
-        # rank/plane passes VMEM-resident); the XLA twin is the portable
-        # fallback and the forced choice for backend="xla".
-        if backend == "pallas" or (
-            backend == "auto" and jax.default_backend() == "tpu"
-        ):
+        # Default is the XLA decoder: measured head-to-head on chip (v5e,
+        # 128 MiB, r3) it beats the compiled Pallas twin at every plane
+        # bucket — 8.12 vs 3.60 GB/s at max_planes=16, 7.91 vs 2.97 at 32
+        # (the Pallas kernel is VMEM-scope-bound to 64-128 row tiles).
+        # backend="pallas" forces the Pallas decoder (kept compiled + bit
+        # -exact under the smoke gate).
+        if backend == "pallas":
             from dctpu.kernels.vertical_pallas import decode_vertical_staged
 
             z = decode_vertical_staged(payload, n, block_len, max_planes)

@@ -57,21 +57,15 @@ def unpack(
     buf_words: int = 0,
 ):
     backend = backend or default_backend()
-    if backend == "auto":
+    if backend in ("auto", "scan", "scan_xla"):
         # gather-free shift-buffer decode; expects stage_rice_scan rows and a
         # static per-batch buffer bucket (host-derived from the sync tables).
-        # On TPU the compiled Pallas twin runs the same schedule with the
-        # buffer VMEM-resident (2.7x the XLA scan, measured, bit-identical).
-        import jax
-
-        if jax.default_backend() == "tpu":
-            from dctpu.kernels.unpack_pallas import unpack_pallas
-
-            return unpack_pallas(payload, k, n, block_len, buf_words)
-        from dctpu.kernels.unpack_scan import unpack_scan
-
-        return unpack_scan(payload, k, n, block_len, buf_words)
-    if backend in ("scan", "scan_xla"):  # forced XLA shift-buffer scan
+        # "auto" resolves to the XLA scan on every platform: measured
+        # head-to-head at the 128 MiB bench geometry (v5e, r3) it beats the
+        # compiled Pallas twin 2.46 vs 1.42 GB/s at buf_words=64 and 6.67
+        # vs 1.43 at buf_words=16 — the round-2 "2.7x" Pallas result only
+        # held at small batches. backend="pallas" forces the Pallas twin
+        # (still compiled + bit-exact under the smoke gate).
         from dctpu.kernels.unpack_scan import unpack_scan
 
         return unpack_scan(payload, k, n, block_len, buf_words)

@@ -323,38 +323,51 @@ def compact_vertical_semi(
     wc_sub = vertical_wc_sub(entries, pw_d)
 
     region = rows[:, SW:].reshape(B, S, REGION_WORDS)
-    # pack each region to its live prefix: planes (pw-grouped reshape),
-    # then the 20-word tail rolled up to pw*b
-    planes = region[:, :, :PLANE_REGION]
-    packed_planes = jnp.zeros_like(planes)
-    for pwv, subs_list in groups.items():
-        mask = np.zeros(S, bool)
-        mask[subs_list] = True
-        m = jnp.asarray(mask)[None, :, None]
-        packed_planes = jnp.where(
-            m, _plane_pack(planes, pwv), packed_planes
-        )
-    # zero plane words at/after pw*b (slots past the live prefix)
-    slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
-    live_planes = slot < (pw_d[None, :, None] * b[:, :, None])
-    packed_planes = jnp.where(live_planes, packed_planes, jnp.uint32(0))
+    if set(groups) == {4}:
+        # uniform pw=4 (block_len % 128 == 0, the production geometry):
+        # VMEM-resident Pallas region pack — one HBM read + one write
+        # instead of the two barrel-shift passes below (compiled on TPU,
+        # interpreter elsewhere so tests cover the same code path).
+        from dctpu.kernels.vertical_pallas import region_pack_pallas
 
-    tail = region[:, :, PLANE_REGION:]  # [B, S, 20]: [4 pos slots | 16 vals]
-    # close the gap between the fixed 4-slot pos area and the vals when
-    # posw < 4: packed tail = [posw pos words | n_exc vals]
-    posw = ((n_exc + 3) // 4)[:, :, None]
-    tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
-    vals_down = _roll_down_by(tail, POS_REGION - posw, 1)
-    tail = jnp.where(tslot < posw, tail, vals_down)
-    tail = jnp.pad(tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION))))
-    packed = jnp.pad(packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION)))
-    rolled = jnp.zeros_like(packed)
-    for pwv, subs_list in groups.items():
-        mask = np.zeros(S, bool)
-        mask[subs_list] = True
-        m = jnp.asarray(mask)[None, :, None]
-        rolled = jnp.where(m, _roll_up_by(tail, b[:, :, None], pwv), rolled)
-    packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
+        packed = region_pack_pallas(
+            region.reshape(B * S, REGION_WORDS),
+            b.reshape(-1),
+            n_exc.reshape(-1).astype(jnp.int32),
+        ).reshape(B, S, REGION_PAD)
+    else:
+        # pack each region to its live prefix: planes (pw-grouped reshape),
+        # then the 20-word tail rolled up to pw*b
+        planes = region[:, :, :PLANE_REGION]
+        packed_planes = jnp.zeros_like(planes)
+        for pwv, subs_list in groups.items():
+            mask = np.zeros(S, bool)
+            mask[subs_list] = True
+            m = jnp.asarray(mask)[None, :, None]
+            packed_planes = jnp.where(
+                m, _plane_pack(planes, pwv), packed_planes
+            )
+        # zero plane words at/after pw*b (slots past the live prefix)
+        slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+        live_planes = slot < (pw_d[None, :, None] * b[:, :, None])
+        packed_planes = jnp.where(live_planes, packed_planes, jnp.uint32(0))
+
+        tail = region[:, :, PLANE_REGION:]  # [B, S, 20]: [4 pos | 16 vals]
+        # close the gap between the fixed 4-slot pos area and the vals when
+        # posw < 4: packed tail = [posw pos words | n_exc vals]
+        posw = ((n_exc + 3) // 4)[:, :, None]
+        tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
+        vals_down = _roll_down_by(tail, POS_REGION - posw, 1)
+        tail = jnp.where(tslot < posw, tail, vals_down)
+        tail = jnp.pad(tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION))))
+        packed = jnp.pad(packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION)))
+        rolled = jnp.zeros_like(packed)
+        for pwv, subs_list in groups.items():
+            mask = np.zeros(S, bool)
+            mask[subs_list] = True
+            m = jnp.asarray(mask)[None, :, None]
+            rolled = jnp.where(m, _roll_up_by(tail, b[:, :, None], pwv), rolled)
+        packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
 
     # combined per-block source: [SWT sync tiles | S * RPT region tiles]
     SWT = _cdiv(SW, VERT_TILE)

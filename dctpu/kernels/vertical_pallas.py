@@ -32,15 +32,15 @@ _I0 = np.int32(0)
 
 
 def _decode_kernel(region_ref, b_ref, nexc_ref, e_ref, count_ref, z_ref, *,
-                   max_planes):
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (TR, SUB_BLOCK), 1)
+                   max_planes, tr):
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (tr, SUB_BLOCK), 1)
     shifts = lane % jnp.uint32(32)
     group = lane >> jnp.uint32(5)                         # lane // 32 in [0, 4)
 
-    z = jnp.zeros((TR, SUB_BLOCK), dtype=jnp.uint32)
+    z = jnp.zeros((tr, SUB_BLOCK), dtype=jnp.uint32)
     for p in range(max_planes):
         # rep[r, i] = plane-p word i//32, via 4 broadcast-selects
-        rep = jnp.zeros((TR, SUB_BLOCK), dtype=jnp.uint32)
+        rep = jnp.zeros((tr, SUB_BLOCK), dtype=jnp.uint32)
         for w in range(4):
             col = region_ref[:, 4 * p + w : 4 * p + w + 1]  # [TR, 1]
             rep = jnp.where(group == w, col, rep)
@@ -218,6 +218,82 @@ def exc_extract_pallas(
     return pos[:R].reshape(B, S, POS_REGION), vals[:R].reshape(B, S, EXC_CAP)
 
 
+REGION_PAD = 152  # REGION_WORDS padded to the VERT_TILE lattice (ragged.py)
+
+
+def _region_pack_kernel(region_ref, b_ref, nexc_ref, out_ref):
+    """Pack one sub-block region to its live prefix, VMEM-resident.
+
+    Input row (pw=4 layout): [128 p-major plane slots | 4 pos | 16 vals | 0k]
+    padded to 152. Output row: [4b plane words | posw pos | vals...] zeros
+    beyond. Replaces the XLA repack+roll stages of compact_vertical_semi
+    (two barrel-shift passes over the 160 MB region batch in HBM).
+
+    No wraparound masking is needed on the rolls: the live span never
+    reaches the row end (4b + posw + 16 <= 148 < 152), so rotated-in lanes
+    are always zeros.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, REGION_PAD), 1)
+    r = region_ref[:, :]
+    b4 = b_ref[:, :] * jnp.int32(4)           # [TR, 1] live plane words
+    posw = (nexc_ref[:, :] + jnp.int32(3)) // jnp.int32(4)
+
+    planes = jnp.where(lane < b4, r, jnp.uint32(0))
+
+    # tail (pos+vals) to lane 0: rotate right by W-128 == left by 128
+    t0 = pltpu.roll(r, jnp.int32(REGION_PAD - 128), axis=1)
+    # close the (POS_REGION - posw)-word gap between pos words and vals
+    gap = jnp.int32(POS_REGION) - posw        # in [0, 4]
+    vals_dn = t0
+    for j in range(3):                        # gap bits 0..2
+        sh = 1 << j
+        rolled = pltpu.roll(vals_dn, jnp.int32(REGION_PAD - sh), axis=1)
+        vals_dn = jnp.where((gap >> j) & 1 == 1, rolled, vals_dn)
+    tail = jnp.where(lane < posw, t0, vals_dn)
+    tail = jnp.where(lane < posw + jnp.int32(EXC_CAP), tail, jnp.uint32(0))
+
+    # place the tail right after the live planes: rotate right by b4
+    rolled = tail
+    for j in range(6):                        # (b4 >> 2) bits 0..5
+        sh = 4 << j
+        shifted = pltpu.roll(rolled, jnp.int32(sh), axis=1)
+        rolled = jnp.where(((b4 >> 2) >> j) & 1 == 1, shifted, rolled)
+    out_ref[:, :] = planes | rolled
+
+
+def region_pack_pallas(
+    region: jnp.ndarray,  # [R, REGION_WORDS] u32 (pw=4 rows only)
+    b: jnp.ndarray,       # [R] i32 selected widths
+    n_exc: jnp.ndarray,   # [R] i32
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """[R, REGION_PAD] live-packed rows; see _region_pack_kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = region.shape[0]
+    Rp = (R + TR - 1) // TR * TR
+    region = jnp.pad(
+        region, ((0, Rp - R), (0, REGION_PAD - REGION_WORDS))
+    )
+    b = jnp.pad(b.astype(jnp.int32), (0, Rp - R))[:, None]
+    n_exc = jnp.pad(n_exc.astype(jnp.int32), (0, Rp - R))[:, None]
+    out = pl.pallas_call(
+        _region_pack_kernel,
+        grid=(Rp // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, REGION_PAD), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, REGION_PAD), lambda i: (i, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, REGION_PAD), jnp.uint32),
+        interpret=interpret,
+    )(region, b, n_exc)
+    return out[:R]
+
+
 def decode_vertical_pallas(
     regions: jnp.ndarray,  # [R, REGION_WORDS] u32 (R = B*SUBS, staged)
     b: jnp.ndarray,        # [R] i32 widths
@@ -227,9 +303,16 @@ def decode_vertical_pallas(
     max_planes: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[R, 128] zigzag values; rows are independent sub-blocks."""
+    """[R, 128] zigzag values; rows are independent sub-blocks.
+
+    Tile rows scale down with max_planes: the kernel's live temporaries grow
+    with the plane count, and at TR=256 x 32 planes Mosaic's scoped-VMEM
+    stack overflows its 16 MB limit (BENCH r3 interim failure: 26.28M
+    requested at the 128 MiB bench geometry).
+    """
+    trd = 256 if max_planes <= 8 else (128 if max_planes <= 16 else 64)
     R = regions.shape[0]
-    Rp = (R + TR - 1) // TR * TR
+    Rp = (R + trd - 1) // trd * trd
     if Rp != R:
         regions = jnp.pad(regions, ((0, Rp - R), (0, 0)))
         b = jnp.pad(b, (0, Rp - R))
@@ -237,16 +320,16 @@ def decode_vertical_pallas(
         e = jnp.pad(e, (0, Rp - R))
         count = jnp.pad(count, (0, Rp - R))
     z = pl.pallas_call(
-        functools.partial(_decode_kernel, max_planes=max_planes),
-        grid=(Rp // TR,),
+        functools.partial(_decode_kernel, max_planes=max_planes, tr=trd),
+        grid=(Rp // trd,),
         in_specs=[
-            pl.BlockSpec((TR, REGION_WORDS), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((trd, REGION_WORDS), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((trd, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((trd, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((trd, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((trd, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((trd, SUB_BLOCK), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, SUB_BLOCK), jnp.uint32),
         interpret=interpret,
     )(

@@ -58,3 +58,47 @@ def test_encode_backend_pallas_payload_identical(rng):
     e_p = encode_blocks(jnp.asarray(x), jnp.asarray(n), jnp.asarray(hist), cfg, "pallas")
     assert np.array_equal(np.asarray(e_x.payload), np.asarray(e_p.payload))
     assert np.array_equal(np.asarray(e_x.bit_len), np.asarray(e_p.bit_len))
+
+
+def test_region_pack_matches_xla_path(rng):
+    """region_pack_pallas (interpret) == the XLA repack+roll formulation,
+    including n_exc=0, full-width b=32, and posw in {0..4}."""
+    import jax.numpy as jnp
+
+    from dctpu.kernels import ragged
+    from dctpu.kernels.vertical_pallas import region_pack_pallas
+    from dctpu.kernels.vertical_xla import PLANE_REGION, POS_REGION, REGION_WORDS
+
+    R = 37
+    region = rng.integers(0, 2**32, size=(R, REGION_WORDS),
+                          dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 33, size=R).astype(np.int32)
+    n_exc = rng.integers(0, 17, size=R).astype(np.int32)
+    b[0], n_exc[0] = 0, 0
+    b[1], n_exc[1] = 32, 16
+    b[2], n_exc[2] = 5, 0
+    # encoder invariant: val slots beyond 16 don't exist; slots are full u32
+
+    got = np.asarray(region_pack_pallas(
+        jnp.asarray(region), jnp.asarray(b), jnp.asarray(n_exc),
+        interpret=True,
+    ))
+
+    # XLA reference (pw=4): plane prefix + gap-closed tail rolled to 4b
+    r3 = jnp.asarray(region)[None, :, :]  # [1, R, W] as [B, S, W]
+    planes = r3[:, :, :PLANE_REGION]
+    slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    planes = jnp.where(slot < 4 * jnp.asarray(b)[None, :, None],
+                       planes, jnp.uint32(0))
+    tail = r3[:, :, PLANE_REGION:]
+    posw = ((jnp.asarray(n_exc) + 3) // 4)[None, :, None]
+    tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    vals_down = ragged._roll_down_by(tail, POS_REGION - posw, 1)
+    tail = jnp.where(tslot < posw, tail, vals_down)
+    tail = jnp.pad(tail, ((0, 0), (0, 0),
+                          (0, ragged.REGION_PAD - (REGION_WORDS - PLANE_REGION))))
+    packed = jnp.pad(planes, ((0, 0), (0, 0),
+                              (0, ragged.REGION_PAD - PLANE_REGION)))
+    rolled = ragged._roll_up_by(tail, jnp.asarray(b)[None, :, None], 4)
+    want = np.asarray((packed | rolled)[0])
+    assert np.array_equal(got, want)

@@ -32,14 +32,20 @@ def _load_streams(path: str):
     return [np.frombuffer(data, dtype="<i4").copy()], [0], [900]
 
 
-def _cfg(args):
+def _cfg(args, streams=None):
     from dctpu.config import CodecConfig
     from dctpu.constants import DELTA, DOUBLE_DELTA, LPC
 
     names = {"delta": DELTA, "dd": DOUBLE_DELTA, "lpc": LPC}
     preds = tuple(names[p] for p in args.predictors.split(","))
+    tables = None
+    if getattr(args, "fit_tables", False) and streams is not None:
+        from dctpu.codec.select import fit_lpc_tables
+
+        tables = fit_lpc_tables(streams)
+    kw = {} if tables is None else {"lpc_tables": tables}
     return CodecConfig(
-        block_len=args.block_len, predictors=preds, coder=args.coder
+        block_len=args.block_len, predictors=preds, coder=args.coder, **kw
     )
 
 
@@ -51,10 +57,11 @@ def cmd_encode(args):
     streams, ids, cads = _load_streams(args.input)
     raw = sum(s.nbytes for s in streams)
     t0 = time.time()
+    cfg = _cfg(args, streams)
     if args.sharded:
-        frame = compress_sharded(streams, _cfg(args), stream_ids=ids, cadences=cads)
+        frame = compress_sharded(streams, cfg, stream_ids=ids, cadences=cads)
     else:
-        frame = compress(streams, _cfg(args), stream_ids=ids, cadences=cads)
+        frame = compress(streams, cfg, stream_ids=ids, cadences=cads)
     data = write_frame(frame)
     dt = time.time() - t0
     Path(args.output).write_bytes(data)
@@ -90,7 +97,7 @@ def cmd_verify(args):
     from dctpu.format import read_frame, write_frame
 
     streams, ids, cads = _load_streams(args.input)
-    cfg = _cfg(args)
+    cfg = _cfg(args, streams)
     if args.sharded:
         frame = compress_sharded(streams, cfg, stream_ids=ids, cadences=cads)
         out = decompress_sharded(read_frame(write_frame(frame)))
@@ -125,6 +132,10 @@ def main(argv=None):
                         help="rice = classic Rice frames, vertical = max "
                         "throughput, adaptive = per-block best of both "
                         "(FORMAT §4.1, default)")
+        sp.add_argument("--fit-tables", action="store_true",
+                        help="replace the built-in LPC tables with "
+                             "corpus-fit OLS->Q16 tables (serialized into "
+                             "the frame; decoders need no side channel)")
         sp.add_argument("--sharded", action="store_true",
                         help="shard over all local devices")
 

@@ -70,3 +70,32 @@ def test_cli_predictor_subset(tmp_path, corpus_file):
     assert cli_main(["decode", str(out_f), str(back_f)]) == 0
     rs, _, _ = read_raw(back_f.read_bytes())
     assert all(np.array_equal(a, b) for a, b in zip(streams, rs))
+
+
+def test_cli_fit_tables_roundtrip(tmp_path):
+    """--fit-tables: corpus-fit LPC tables serialize into the frame and the
+    round trip stays bit-exact (decoder reads tables from the frame)."""
+    import numpy as np
+
+    from dctpu.cli.main import main
+    from dctpu.corpus import synth_corpus
+    from dctpu.format import read_raw, write_raw
+
+    streams, ids, cads = synth_corpus(4, 2000, seed=9, mixed_cadence=True)
+    src = tmp_path / "in.dcr"
+    src.write_bytes(write_raw(streams, ids, cads))
+    enc = tmp_path / "out.dcf"
+    dec = tmp_path / "back.dcr"
+    assert main(["encode", str(src), str(enc), "--block-len", "256",
+                 "--fit-tables"]) == 0
+    assert main(["decode", str(enc), str(dec)]) == 0
+    back, bids, _ = read_raw(dec.read_bytes())
+    assert bids == list(ids)
+    for a, b in zip(streams, back):
+        assert np.array_equal(a, b)
+    # fitted tables really differ from the builtins in the written frame
+    from dctpu.config import DEFAULT_LPC_TABLES
+    from dctpu.format import read_frame
+
+    fr = read_frame(enc.read_bytes())
+    assert tuple(fr.tables) != DEFAULT_LPC_TABLES

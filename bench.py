@@ -25,6 +25,12 @@ decoders' cost is data-independent (fixed scan lengths, dense selects), so
 garbage decodes time identically to real ones while defeating CSE.
 Round-trip bit-exactness is asserted on real outputs before any number is
 reported.
+
+Every timed stage MUST return its FULL outputs (the chain checksums every
+leaf): returning a sliced output lets XLA dead-code-eliminate the stage -
+measured: encode returning payload[:, :1] collapses to ~0 ms. The r1/r2
+enc_kernel numbers were inflated this way; r3 fixed it (honest vertical
+enc kernel is ~3.1, not 5.5-6.0, GB/s).
 """
 
 import json
@@ -64,8 +70,12 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     log(f"[{coder}] encode compile+first: {time.time()-t0:.1f}s")
 
     def enc_stage(x, n, h, salt):
+        # return FULL outputs: returning payload[:, :1] lets XLA dead-code
+        # -eliminate the plane/exception emission entirely (measured: the
+        # sliced variant collapses to ~0 ms) — r1/r2 enc_kernel numbers
+        # were inflated by this. chained_seconds checksums every leaf.
         e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "auto")
-        return e.bit_len, e.payload[:, :1]
+        return e.bit_len, e.payload
 
     t0 = time.time()
     enc_t = chained_seconds(enc_stage, (xd, nd, hd), k=chain)
@@ -104,7 +114,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
             words, _ = ragged.compact_vertical_semi(e.payload, L, total_tiles)
         else:
             words = ragged.compact_rice_semi(e.payload, tc_dev, total_tiles)
-        return e.bit_len, words[:1]
+        return e.bit_len, words  # full semi stream: no DCE (see enc_stage)
 
     t0 = time.time()
     pipe_t = chained_seconds(enc_pipe, (xd, nd, hd, tc_rice), k=chain)

@@ -51,8 +51,16 @@ from dctpu.kernels.vertical_xla import (
 )
 
 RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
-VERT_TILE = 8      # sub-granular semi alignment (waste <= 7 words/sub)
-REGION_PAD = 152   # REGION_WORDS=148 padded to a VERT_TILE multiple
+# VERT_TILE trades alignment waste (<= TILE-1 words per sub segment, link
+# bytes only — squeeze_host drops it before disk) against gather index count
+# (the dominant compaction cost at ~18 ns per output row, measured). 8 -> 16
+# halved the segment-compact gather at +~12% link bytes (r3).
+VERT_TILE = 16
+REGION_PAD = 160   # REGION_WORDS=148 padded to a VERT_TILE multiple
+
+from dctpu.kernels.vertical_pallas import REGION_PAD as _KERNEL_REGION_PAD
+
+assert _KERNEL_REGION_PAD == REGION_PAD, "region_pack_pallas lattice mismatch"
 
 
 def _cdiv(a, b):

@@ -218,7 +218,7 @@ def exc_extract_pallas(
     return pos[:R].reshape(B, S, POS_REGION), vals[:R].reshape(B, S, EXC_CAP)
 
 
-REGION_PAD = 152  # REGION_WORDS padded to the VERT_TILE lattice (ragged.py)
+REGION_PAD = 160  # REGION_WORDS padded to the VERT_TILE lattice (ragged.py)
 
 
 def _region_pack_kernel(region_ref, b_ref, nexc_ref, out_ref):

@@ -11,6 +11,9 @@ targets the real bottleneck instead of a guess:
   D  tile_segment_compact                    (ffill + 5M-row tile gather)
   F  full compact_vertical_semi              (everything fused)
 
+Every stage returns FULL outputs (sliced outputs would be DCE'd and time
+as ~0 ms — bench.py docstring, r3).
+
 Usage: python bench/profile_compact.py [B]
 """
 
@@ -82,7 +85,7 @@ def main():
             mask[subs_list] = True
             m = jnp.asarray(mask)[None, :, None]
             packed = jnp.where(m, ragged._plane_pack(planes, pwv), packed)
-        return packed[:, :, :1]
+        return packed
 
     report("B plane repack", stage_b, rows_d)
 
@@ -103,7 +106,7 @@ def main():
             mask[subs_list] = True
             m = jnp.asarray(mask)[None, :, None]
             rolled = jnp.where(m, ragged._roll_up_by(tail, bq[:, :, None], pwv), rolled)
-        return rolled[:, :, :1] + vals_down[:, :, :1]
+        return rolled, vals_down
 
     report("C tail roll", stage_c, rows_d)
 
@@ -138,8 +141,7 @@ def main():
           file=sys.stderr)
 
     def stage_d(tiles, tc, ss, salt):
-        out = ragged.tile_segment_compact(tiles ^ salt, ss, tc, total_tiles)
-        return out[:1]
+        return ragged.tile_segment_compact(tiles ^ salt, ss, tc, total_tiles)
 
     report("D tile_segment_compact (full cap)", stage_d, src_tiles_d, tc_d, ss_d)
 
@@ -147,16 +149,14 @@ def main():
     live_cap = -(-live_tiles // 65536) * 65536
 
     def stage_d2(tiles, tc, ss, salt):
-        out = ragged.tile_segment_compact(tiles ^ salt, ss, tc, live_cap)
-        return out[:1]
+        return ragged.tile_segment_compact(tiles ^ salt, ss, tc, live_cap)
 
     report(f"D2 tile_segment_compact (cap={live_cap})", stage_d2,
            src_tiles_d, tc_d, ss_d)
 
     # ---- F: the full fused compaction ----
     def stage_f(rows, salt):
-        out, wc = ragged.compact_vertical_semi(rows ^ salt, L, total_tiles)
-        return out[:1], wc[:1]
+        return ragged.compact_vertical_semi(rows ^ salt, L, total_tiles)
 
     report("F full compact_vertical_semi", stage_f, rows_d)
 

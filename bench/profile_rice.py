@@ -58,9 +58,12 @@ def main():
         coeffs = cfg.lpc_tables[ti].coeffs if pred == LPC else None
         return rice.zigzag(predict.residuals_for_candidate(x, h, pred, coeffs))
 
+    # NOTE: every stage returns FULL outputs — sliced outputs get dead-code
+    # -eliminated by XLA and time as ~0 ms (bench.py docstring, r3).
+
     # A: one candidate's residual+zigzag alone
     def stage_res(x, nn, h, salt):
-        return cand_z(x ^ salt.astype(jnp.int32), h, 0)[:, :1]
+        return cand_z(x ^ salt.astype(jnp.int32), h, 0)
 
     report("A residual+zigzag (1 cand)", stage_res, xd, nd, hd)
 
@@ -100,7 +103,7 @@ def main():
         for ci in range(len(cands)):
             z = jnp.where((choice == ci)[:, None], cand_z(xs, h, ci), z)
         lo, hi, ln = rice.codewords(z, kk[:, None])
-        return lo[:, :1], hi[:, :1], ln[:, :1]
+        return lo, hi, ln
 
     report("C winner z + codewords", stage_emit, xd, nd, hd)
 
@@ -114,7 +117,7 @@ def main():
 
     def stage_pack_scan(lo, hi, ln, salt):
         p, bl = pack_scan(lo ^ salt, hi, ln, valid, L)
-        return p[:, :1], bl
+        return p, bl
 
     report("D pack_scan (the default)", stage_pack_scan, lo, hi, ln)
 
@@ -123,7 +126,7 @@ def main():
 
         def stage_pack_pallas(lo, hi, ln, salt):
             p, bl = pack_pallas(lo ^ salt, hi, ln, valid, L)
-            return p[:, :1], bl
+            return p, bl
 
         report("D2 pack_pallas", stage_pack_pallas, lo, hi, ln)
     except Exception as e:
@@ -132,7 +135,7 @@ def main():
     # E: the full fused encode for reference
     def stage_full(x, nn, h, salt):
         e = encode_blocks_body(x ^ salt.astype(jnp.int32), nn, h, cfg, "auto")
-        return e.bit_len, e.payload[:, :1]
+        return e.bit_len, e.payload
 
     report("E full encode_blocks[rice]", stage_full, xd, nd, hd)
 

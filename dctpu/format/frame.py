@@ -186,6 +186,11 @@ def write_frame(frame: Frame) -> bytes:
 
 
 def read_frame(data: bytes, verify_crc: bool = True) -> Frame:
+    # Malformed input of any shape (truncation, garbage offsets/counts) must
+    # raise ValueError, never struct.error/IndexError — fuzzed in
+    # tests/test_format.py.
+    if len(data) < FILE_HEADER_BYTES:
+        raise ValueError("truncated DCF1 frame: short header")
     (
         magic,
         version,
@@ -204,13 +209,22 @@ def read_frame(data: bytes, verify_crc: bool = True) -> Frame:
     if version != VERSION:
         raise ValueError(f"unsupported DCF version {version}")
 
-    dir_b = data[off_dir : off_dir + nstreams * STREAM_DIR_BYTES]
-    btab_b = data[off_btab : off_btab + nblocks * BLOCK_HEADER_BYTES]
+    def _section(off: int, size: int, name: str) -> bytes:
+        if off < 0 or size < 0 or off + size > len(data):
+            raise ValueError(f"truncated DCF1 frame: {name} section")
+        return data[off : off + size]
+
+    dir_b = _section(off_dir, nstreams * STREAM_DIR_BYTES, "directory")
+    btab_b = _section(off_btab, nblocks * BLOCK_HEADER_BYTES, "block_table")
+    _section(off_tables, _TABLE_HEADER.size, "tables header")
     ntables, _ = _TABLE_HEADER.unpack_from(data, off_tables)
-    tables_b = data[off_tables : off_tables + _TABLE_HEADER.size + ntables * TABLE_ENTRY_BYTES]
-    payload_b = data[off_payload : off_payload + payload_bytes]
+    tables_b = _section(
+        off_tables, _TABLE_HEADER.size + ntables * TABLE_ENTRY_BYTES, "tables"
+    )
+    payload_b = _section(off_payload, payload_bytes, "payload")
 
     if verify_crc:
+        _section(off_payload + payload_bytes, _TRAILER.size, "trailer")
         c_dir, c_btab, c_tab, c_pay, c_hdr = _TRAILER.unpack_from(
             data, off_payload + payload_bytes
         )

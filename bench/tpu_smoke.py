@@ -165,6 +165,30 @@ def main() -> int:
     ).lower(jnp.zeros((B, L), jnp.uint32), nj).compile()
     _status("compile rice_totals_pallas", t0)
 
+    # non-default Pallas twins (XLA versions won the head-to-head and are
+    # the "auto" picks, but backend="pallas" keeps these reachable — they
+    # must keep compiling): pack_pallas and unpack_pallas
+    from dctpu.kernels.pack_pallas import pack_pallas
+    from dctpu.kernels.unpack_pallas import unpack_pallas
+    from dctpu.kernels.unpack_scan import buf_bucket
+    from dctpu.constants import sync_words
+
+    lo = jnp.zeros((B, L), jnp.uint32)
+    ln = jnp.ones((B, L), jnp.int32)
+    vmask = jnp.ones((B, L), jnp.bool_)
+    t0 = time.time()
+    jax.jit(
+        lambda a, b_, c: pack_pallas(a, b_, c, vmask, L)
+    ).lower(lo, lo, ln).compile()
+    _status("compile pack_pallas (twin)", t0)
+    ub = buf_bucket(40 * 128)
+    staged = jnp.zeros((B, sync_words(L) + S * (ub + 1)), jnp.uint32)
+    t0 = time.time()
+    jax.jit(
+        lambda p, kk, nn: unpack_pallas(p, kk, nn, L, ub)
+    ).lower(staged, ids[:B], nj).compile()
+    _status("compile unpack_pallas (twin)", t0)
+
     # ---- 2. byte-exactness: device frames == scalar reference frames ----
     streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]
     for coder in ("rice", "vertical", "adaptive"):

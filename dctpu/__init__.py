@@ -23,6 +23,13 @@ import jax
 # change any computation — it only unlocks the int64/uint64 dtypes.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: this rig's remote axon compiler costs
+# 30-400 s per program geometry; warm starts drop to seconds. Opt out with
+# DCTPU_NO_COMPILE_CACHE=1 (see dctpu/utils/compile_cache.py).
+from dctpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from dctpu.constants import (  # noqa: E402,F401
     BLOCK_LEN_DEFAULT,
     DELTA,

@@ -176,7 +176,9 @@ def choose_k_auto(
 
     assert k_max < 32 and k_max + 4 <= 28
     assert block_len * MAX_CODE_BITS < 2**26  # packed-key bound
-    totals = rice_totals_pallas(z, n, block_len, k_max, interpret=False)
+    # interpret=None -> compiled on TPU, interpreter elsewhere, so a forced
+    # backend="pallas" still works on the CPU test backend (ADVICE r3).
+    totals = rice_totals_pallas(z, n, block_len, k_max, interpret=None)
     ks = jnp.arange(k_max + 1, dtype=jnp.int32)
     key = jnp.min(totals * 32 + ks, axis=-1)
     return (key & 31).astype(jnp.int32), key >> 5

@@ -225,12 +225,13 @@ def _region_pack_kernel(region_ref, b_ref, nexc_ref, out_ref):
     """Pack one sub-block region to its live prefix, VMEM-resident.
 
     Input row (pw=4 layout): [128 p-major plane slots | 4 pos | 16 vals | 0k]
-    padded to 152. Output row: [4b plane words | posw pos | vals...] zeros
-    beyond. Replaces the XLA repack+roll stages of compact_vertical_semi
-    (two barrel-shift passes over the 160 MB region batch in HBM).
+    padded to REGION_PAD=160. Output row: [4b plane words | posw pos |
+    vals...] zeros beyond. Replaces the XLA repack+roll stages of
+    compact_vertical_semi (two barrel-shift passes over the 160 MB region
+    batch in HBM).
 
     No wraparound masking is needed on the rolls: the live span never
-    reaches the row end (4b + posw + 16 <= 148 < 152), so rotated-in lanes
+    reaches the row end (4b + posw + 16 <= 148 < 160), so rotated-in lanes
     are always zeros.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (TR, REGION_PAD), 1)

@@ -1,10 +1,12 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: device encode throughput with the VERTICAL coder, GB/s per chip
-(BASELINE.json metric: "encode/decode GB/s per chip"). vs_baseline compares
+Headline: device encode-pipeline throughput of the ADAPTIVE coder — the CLI
+default path (select -> per-coder-group emit -> compaction), GB/s per chip
+(BASELINE.json metric: "encode/decode GB/s per chip"; round-3 VERDICT
+missing #1 made the production coder the headline). vs_baseline compares
 against the per-chip share of the driver target (>= 10 GB/s aggregate on a
 v5p-16 = 8 chips -> 1.25 GB/s per chip). Detail (all coders, three pipeline
-levels, ratios) goes to stderr and to bench_results.json:
+levels, ratios, run-to-run spreads) goes to stderr and bench_results.json:
 
   device kernel   chained-timing of the jitted encode/decode bodies alone
   device pipeline kernel + on-device ragged compaction/staging
@@ -57,7 +59,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     from dctpu.constants import sync_words
     from dctpu.format.frame import payload_word_counts
     from dctpu.kernels import ragged
-    from dctpu.utils.timing import chained_seconds
+    from dctpu.utils.timing import chained_stats
 
     cfg = CodecConfig(coder=coder)
     B = xd.shape[0]
@@ -78,8 +80,9 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         return e.bit_len, e.payload
 
     t0 = time.time()
-    enc_t = chained_seconds(enc_stage, (xd, nd, hd), k=chain)
+    enc_t, sp = chained_stats(enc_stage, (xd, nd, hd), k=chain)
     res["enc_kernel_gbps"] = raw_bytes / enc_t / 1e9
+    res["enc_kernel_spread"] = sp
     log(f"[{coder}] device encode kernel: {res['enc_kernel_gbps']:.4f} "
         f"GB/s/chip ({enc_t*1e3:.1f} ms; chain compile+run {time.time()-t0:.0f}s)")
 
@@ -117,8 +120,9 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         return e.bit_len, words  # full semi stream: no DCE (see enc_stage)
 
     t0 = time.time()
-    pipe_t = chained_seconds(enc_pipe, (xd, nd, hd, tc_rice), k=chain)
+    pipe_t, sp = chained_stats(enc_pipe, (xd, nd, hd, tc_rice), k=chain)
     res["enc_pipeline_gbps"] = raw_bytes / pipe_t / 1e9
+    res["enc_pipeline_spread"] = sp
     log(f"[{coder}] device encode+compact: {res['enc_pipeline_gbps']:.4f} "
         f"GB/s/chip ({pipe_t*1e3:.1f} ms; chain {time.time()-t0:.0f}s)")
 
@@ -174,8 +178,9 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
             hd, coeffs, L, True, dec_backend, coder, 32, dec_buf)
 
     t0 = time.time()
-    dec_t = chained_seconds(dec_stage, (padded,), k=chain)
+    dec_t, sp = chained_stats(dec_stage, (padded,), k=chain)
     res["dec_kernel_gbps"] = raw_bytes / dec_t / 1e9
+    res["dec_kernel_spread"] = sp
     log(f"[{coder}] device decode kernel: {res['dec_kernel_gbps']:.4f} "
         f"GB/s/chip ({dec_t*1e3:.1f} ms; chain {time.time()-t0:.0f}s)")
 
@@ -189,8 +194,9 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
             hd, coeffs, L, True, dec_backend, coder, 32, dec_buf)
 
     t0 = time.time()
-    dpipe_t = chained_seconds(dec_pipe, (flat_d, off_d), k=chain)
+    dpipe_t, sp = chained_stats(dec_pipe, (flat_d, off_d), k=chain)
     res["dec_pipeline_gbps"] = raw_bytes / dpipe_t / 1e9
+    res["dec_pipeline_spread"] = sp
     log(f"[{coder}] device stage+decode: {res['dec_pipeline_gbps']:.4f} "
         f"GB/s/chip ({dpipe_t*1e3:.1f} ms; chain {time.time()-t0:.0f}s)")
 
@@ -198,6 +204,187 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     log(f"[{coder}] bit-exact: {ok}  payload ratio: {res['ratio']:.3f}x")
     if not ok:
         raise AssertionError(f"{coder} round trip not bit-exact")
+    return res
+
+
+def _bench_adaptive_device(xd, nd, hd, raw_bytes, x, n, L):
+    """Device-pipeline GB/s for the ADAPTIVE coder — the CLI default.
+
+    Round-3 VERDICT missing #1: adaptive had only relay-bound e2e numbers.
+    The production pipeline is sequential phases (select -> per-coder-group
+    emit+compact -> [decode side] per-group stage+decode), so each phase is
+    chained-timed at its real geometry (group sizes from an actual select on
+    the bench corpus) and the phase times are summed. Group row gathers run
+    on device inside the timed emit stage. All phases checksum full outputs
+    (no DCE — see module docstring).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dctpu.codec import api as capi
+    from dctpu.codec.decode import decode_blocks_body
+    from dctpu.codec.encode import adaptive_select_body, emit_blocks_body
+    from dctpu.config import CodecConfig
+    from dctpu.constants import subs_per_block, sync_words
+    from dctpu.format.frame import payload_word_counts
+    from dctpu.kernels import ragged
+    from dctpu.utils.timing import chained_seconds
+
+    cfg = CodecConfig(coder="adaptive")
+    B = xd.shape[0]
+    res = {}
+
+    # ---- real selection (defines the group geometry) ----
+    t0 = time.time()
+    sel_jit = jax.jit(adaptive_select_body, static_argnames=("cfg",))
+    choice_d, coder_d, k_d = sel_jit(xd, nd, hd, cfg)
+    coder_h = np.asarray(coder_d)
+    log(f"[adaptive] select compile+first: {time.time()-t0:.1f}s")
+
+    def sel_stage(x, n, h, salt):
+        return adaptive_select_body(x ^ salt.astype(jnp.int32), n, h, cfg)
+
+    t_sel = chained_seconds(sel_stage, (xd, nd, hd), k=3)
+    res["select_ms"] = t_sel * 1e3
+    log(f"[adaptive] device select: {t_sel*1e3:.1f} ms "
+        f"({raw_bytes/t_sel/1e9:.3f} GB/s if alone)")
+
+    # ---- per-group emit + compact ----
+    t_emit = 0.0
+    group_words = {}
+    group_idx = {}
+    group_bl = {}
+    S = subs_per_block(L)
+    SW = sync_words(L)
+    for gid, gname in ((0, "rice"), (1, "vertical")):
+        idx = np.nonzero(coder_h == gid)[0]
+        group_idx[gid] = idx
+        if idx.size == 0:
+            continue
+        G = idx.size
+        idx_d = jnp.asarray(idx.astype(np.int32))
+        enc = jax.jit(
+            emit_blocks_body, static_argnames=("cfg", "coder", "backend")
+        )(xd[idx_d], nd[idx_d], hd[idx_d], choice_d[idx_d], k_d[idx_d],
+          cfg, gname, "auto")
+        bl = np.asarray(enc.bit_len)
+        words = capi.compact_enc_payload_device(enc.payload, bl, L, gname)
+        group_words[gid] = words
+        group_bl[gid] = bl
+        if gname == "vertical":
+            wc = SW + bl.astype(np.int64) // 32
+            SWT = -(-SW // ragged.VERT_TILE)
+            ub = (G * SWT + G * S
+                  + -(-int(bl.sum()) // 32 // ragged.VERT_TILE))
+            total_tiles = min(
+                ragged.tile_bucket(ub),
+                G * (SWT + S * (ragged.REGION_PAD // ragged.VERT_TILE)),
+            )
+        else:
+            wc = payload_word_counts(bl, L)
+            total_tiles = min(
+                ragged.tile_bucket(int((-(-wc // ragged.RICE_TILE)).sum())),
+                G * (-(-enc.payload.shape[1] // ragged.RICE_TILE)),
+            )
+        tc_rice = jnp.asarray((-(-wc // ragged.RICE_TILE)).astype(np.int32))
+
+        def emit_pipe(x, n, h, ch, kk, gi, tc_dev, salt, gname=gname,
+                      total_tiles=total_tiles):
+            # the group row gather rides inside the timed stage — it is
+            # part of the production pipeline (host grouping is indices
+            # only; rows move on device)
+            e = emit_blocks_body(
+                x[gi] ^ salt.astype(jnp.int32), n[gi], h[gi], ch[gi],
+                kk[gi], cfg, gname, "auto")
+            if gname == "vertical":
+                words, _ = ragged.compact_vertical_semi(
+                    e.payload, L, total_tiles)
+            else:
+                words = ragged.compact_rice_semi(e.payload, tc_dev,
+                                                 total_tiles)
+            return e.bit_len, words
+
+        t_g = chained_seconds(
+            emit_pipe,
+            (xd, nd, hd, choice_d, k_d, idx_d, tc_rice),
+            k=3,
+        )
+        t_emit += t_g
+        res[f"emit_{gname}_ms"] = t_g * 1e3
+        log(f"[adaptive] emit+compact[{gname}] G={G}: {t_g*1e3:.1f} ms")
+
+    res["enc_pipeline_gbps"] = raw_bytes / (t_sel + t_emit) / 1e9
+    log(f"[adaptive] device encode pipeline (select+emit+compact): "
+        f"{res['enc_pipeline_gbps']:.4f} GB/s/chip "
+        f"({(t_sel+t_emit)*1e3:.1f} ms)")
+
+    # ---- decode side: per-group stage + decode on the real group words ----
+    from dctpu.constants import LPC
+    from dctpu.kernels.unpack_scan import buf_bucket, max_sub_bits_host
+
+    coeffs = jnp.asarray(
+        np.array([t.coeffs for t in cfg.lpc_tables], dtype=np.int64))
+    t_dec = 0.0
+    ok_all = True
+    pred_map = np.array([p for p, _ in cfg.candidates()], dtype=np.int32)
+    ti_map = np.array(
+        [ti if p == LPC else 0 for p, ti in cfg.candidates()], dtype=np.int32
+    )
+    for gid, gname in ((0, "rice"), (1, "vertical")):
+        idx = group_idx.get(gid, np.zeros(0, np.int64))
+        if idx.size == 0:
+            continue
+        G = idx.size
+        words = group_words[gid]
+        bl = group_bl[gid]
+        idx_d = jnp.asarray(idx.astype(np.int32))
+        n_g = nd[idx_d]
+        k_g = k_d[idx_d]
+        pred_g = jnp.asarray(pred_map)[choice_d[idx_d]]
+        ti_g = jnp.asarray(ti_map)[choice_d[idx_d]]
+        h_g = hd[idx_d]
+        if gname == "vertical":
+            wc = SW + bl.astype(np.int64) // 32
+        else:
+            wc = payload_word_counts(bl, L)
+        off = np.zeros(G + 1, np.int64)
+        np.cumsum(wc, out=off[1:])
+        flat_d = jnp.asarray(words)
+        off_d = jnp.asarray(off.astype(np.int32))
+        if gname == "vertical":
+            def dec_pipe(w, o, salt, n_g=n_g, k_g=k_g, pred_g=pred_g,
+                         ti_g=ti_g, h_g=h_g):
+                p = ragged.stage_vertical_device(w ^ salt, o, L)
+                return decode_blocks_body(
+                    p, k_g, n_g, pred_g, ti_g, h_g, coeffs, L, True,
+                    "auto", "vertical", 32, 0)
+        else:
+            dec_buf = buf_bucket(max_sub_bits_host(words, off, L))
+
+            def dec_pipe(w, o, salt, n_g=n_g, k_g=k_g, pred_g=pred_g,
+                         ti_g=ti_g, h_g=h_g, dec_buf=dec_buf):
+                p = ragged.stage_rice_scan_device(w ^ salt, o, L, dec_buf)
+                return decode_blocks_body(
+                    p, k_g, n_g, pred_g, ti_g, h_g, coeffs, L, True,
+                    "auto", "rice", 32, dec_buf)
+
+        # correctness first: real decode must match the group's input
+        out = jax.jit(dec_pipe)(flat_d, off_d, jnp.uint32(0))
+        want = x[idx] * (np.arange(L)[None, :] < n[idx][:, None])
+        ok = np.array_equal(np.asarray(out), want)
+        ok_all = ok_all and ok
+        t_g = chained_seconds(dec_pipe, (flat_d, off_d), k=3)
+        t_dec += t_g
+        res[f"dec_{gname}_ms"] = t_g * 1e3
+        log(f"[adaptive] stage+decode[{gname}] G={G}: {t_g*1e3:.1f} ms "
+            f"bit-exact: {ok}")
+
+    res["dec_pipeline_gbps"] = raw_bytes / t_dec / 1e9 if t_dec else 0.0
+    res["bit_exact"] = bool(ok_all)
+    log(f"[adaptive] device decode pipeline: "
+        f"{res['dec_pipeline_gbps']:.4f} GB/s/chip")
+    if not ok_all:
+        raise AssertionError("adaptive device round trip not bit-exact")
     return res
 
 
@@ -258,8 +445,13 @@ def main():
         results["rice"] = _bench_coder(
             "rice", xd, nd, hd, raw_bytes, x, n, L, chain=3
         )
+        results["adaptive"] = _bench_adaptive_device(
+            xd, nd, hd, raw_bytes, x, n, L
+        )
         log("[adaptive] end-to-end (includes relay)...")
-        results["adaptive"] = _bench_end_to_end(streams, raw_bytes, "adaptive")
+        results["adaptive"].update(
+            _bench_end_to_end(streams, raw_bytes, "adaptive")
+        )
         log(f"[adaptive] e2e encode {results['adaptive']['e2e_encode_gbps']:.4f} "
             f"GB/s, decode {results['adaptive']['e2e_decode_gbps']:.4f} GB/s, "
             f"ratio {results['adaptive']['e2e_ratio']:.3f}x")
@@ -278,8 +470,13 @@ def main():
                 "vertical_enc_kernel": results["vertical"]["enc_kernel_gbps"],
                 "vertical_enc_pipeline": results["vertical"]["enc_pipeline_gbps"],
                 "vertical_dec_kernel": results["vertical"]["dec_kernel_gbps"],
+                "vertical_dec_pipeline": results["vertical"]["dec_pipeline_gbps"],
                 "rice_enc_kernel": results["rice"]["enc_kernel_gbps"],
+                "rice_enc_pipeline": results["rice"]["enc_pipeline_gbps"],
                 "rice_dec_kernel": results["rice"]["dec_kernel_gbps"],
+                "rice_dec_pipeline": results["rice"]["dec_pipeline_gbps"],
+                "adaptive_enc_pipeline": results["adaptive"]["enc_pipeline_gbps"],
+                "adaptive_dec_pipeline": results["adaptive"]["dec_pipeline_gbps"],
             }
             for key, floor in floors.items():
                 got = measured.get(key)
@@ -294,9 +491,12 @@ def main():
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=1)
 
-    value = 0.0 if error else results["vertical"]["enc_pipeline_gbps"]
+    # Headline = the CLI-default coder's device encode pipeline (round-3
+    # VERDICT missing #1: the headline must be the production path, not the
+    # fastest uniform coder).
+    value = 0.0 if error else results["adaptive"]["enc_pipeline_gbps"]
     line = {
-        "metric": "encode_gbps_per_chip",
+        "metric": "adaptive_encode_gbps_per_chip",
         "value": round(value, 4),
         "unit": "GB/s",
         "vs_baseline": round(value / BASELINE_PER_CHIP_GBPS, 4),
@@ -306,7 +506,13 @@ def main():
     if violations:
         line["floor_violations"] = violations
     print(json.dumps(line))
-    sys.exit(1 if error else 0)
+    # Floor violations fail the gate (ADVICE r3): rc=3 distinguishes "ran
+    # fine but regressed" from a crash (rc=1). DCTPU_FLOOR_SOFT=1 downgrades
+    # to a report-only run (e.g. while intentionally re-basing floors).
+    import os
+
+    floor_rc = 0 if os.environ.get("DCTPU_FLOOR_SOFT") else (3 if violations else 0)
+    sys.exit(1 if error else floor_rc)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,12 @@ RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
 # halved the segment-compact gather at +~12% link bytes (r3).
 VERT_TILE = 16
 REGION_PAD = 160   # REGION_WORDS=148 padded to a VERT_TILE multiple
+# Decode-staging window gathers read at tile granularity INDEPENDENT of the
+# semi/disk lattice (the barrel realign handles any alignment). Measured on
+# chip (bench/probe_tiles.py, 262144 windows): REGION_PAD windows 32.9 ms at
+# tile=16 -> 16.0 ms at 64; UB+1 windows 18.1 -> 14.4 ms. 128 regresses
+# (per-index cost doubles once rows span >1 HBM burst).
+STAGE_GATHER_TILE = 64
 
 from dctpu.kernels.vertical_pallas import REGION_PAD as _KERNEL_REGION_PAD
 
@@ -127,7 +133,13 @@ def tile_window_gather(
     width: int,           # static window width (words)
     tile: int = VERT_TILE,
 ) -> jnp.ndarray:
-    """[Nwin, width] windows via tile-row gather + 8-way funnel select."""
+    """[Nwin, width] windows via tile-row gather + barrel un-alignment.
+
+    Gather cost is per tile INDEX (~18 ns each, row width free — measured,
+    ragged.py header), so coarser tiles cut the dominant cost; the in-row
+    realignment is a log2(tile)-pass barrel shift (was a tile-way funnel
+    select — r4: barrel is O(log tile) passes instead of O(tile)).
+    """
     N = int(flat.shape[0])
     T = max(_cdiv(N, tile), 1)
     pad = T * tile - N
@@ -138,9 +150,13 @@ def tile_window_gather(
     ti = starts[:, None] // tile + jnp.arange(K, dtype=jnp.int32)[None, :]
     wide = tiles[jnp.clip(ti, 0, T - 1)].reshape(-1, K * tile)
     r = starts % tile
-    out = jnp.zeros((starts.shape[0], width), jnp.uint32)
-    for rr in range(tile):
-        out = jnp.where((r == rr)[:, None], wide[:, rr : rr + width], out)
+    # barrel: shift wide left by r words, then keep the first `width`
+    y = wide
+    for j in range((tile - 1).bit_length()):  # covers every r < tile
+        sh = 1 << j
+        shifted = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
+        y = jnp.where(((r >> j) & 1 == 1)[:, None], shifted, y)
+    out = y[:, :width]
     # zero-fill out-of-range words (clipped tile reads would repeat data)
     wpos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     return jnp.where((wpos >= 0) & (wpos < N), out, jnp.uint32(0))
@@ -225,7 +241,9 @@ def stage_rice_scan_device(
     sub_lens = _sync_u16(sync, S)  # [B, S]
     boff = SW * 32 + jnp.cumsum(sub_lens, axis=1) - sub_lens
     start = word_off[:-1, None] + (boff >> 5)  # [B, S]
-    subsw = tile_window_gather(flat, start.reshape(-1), UB1)
+    subsw = tile_window_gather(
+        flat, start.reshape(-1), UB1, STAGE_GATHER_TILE
+    )
     return jnp.concatenate([sync, subsw.reshape(B, S * UB1)], axis=1)
 
 
@@ -449,9 +467,9 @@ def stage_vertical_device(
     suboff = jnp.cumsum(wc_sub, axis=1) - wc_sub  # [B, S] within block body
 
     starts = (word_off[:-1, None] + SW + suboff).reshape(-1)
-    span = tile_window_gather(flat, starts, REGION_PAD).reshape(
-        B, S, REGION_PAD
-    )
+    span = tile_window_gather(
+        flat, starts, REGION_PAD, STAGE_GATHER_TILE
+    ).reshape(B, S, REGION_PAD)
     # mask garbage beyond each sub's live words
     slot = jnp.arange(REGION_PAD, dtype=jnp.int32)[None, None, :]
     span = jnp.where(slot < wc_sub[:, :, None], span, jnp.uint32(0))

@@ -141,6 +141,21 @@ def _funnel_arr(lo: jnp.ndarray, hi: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray
     return (lo >> s) | hi_part
 
 
+def _unroll_factor(buf_words: int, T: int) -> int:
+    """Codewords decoded per scan step (see unpack_scan).
+
+    U codewords span <= 48*U bits; the last extraction reads 64 bits past
+    its start, so the lookahead window needs floor(48*(U-1)/32) + 2 + 1
+    buffer words. U=4 needs 7 (buckets >= 8); U=2 needs 4 (the minimum
+    bucket). T must stay divisible by U.
+    """
+    for U in (4, 2):
+        need = (48 * (U - 1)) // 32 + 3
+        if buf_words >= need and T % U == 0:
+            return U
+    return 1
+
+
 def unpack_scan(
     staged: jnp.ndarray,  # [B, SW + S*(UB+1)] u32 (stage_rice_scan rows)
     k: jnp.ndarray,       # [B] i32
@@ -148,13 +163,24 @@ def unpack_scan(
     block_len: int,
     buf_words: int,
 ) -> jnp.ndarray:
-    """Returns z [B, L] uint32 (zeros past n). No gathers anywhere."""
+    """Returns z [B, L] uint32 (zeros past n). No gathers anywhere.
+
+    The scan is unrolled U codewords per step (U = 2 or 4): the dominant
+    cost is reading+writing the [B, S, UB] shift-buffer scan state once per
+    step, so decoding U codewords from a local lookahead window before the
+    one whole-buffer shift cuts state traffic by U (round-3 VERDICT weak
+    #2: the rice decode kernel at U=1 ran 2.16 GB/s, 2.5x behind vertical).
+    Per step: U extractions at cumulative bit offset c (each a (d in
+    0..ceil(48*(U-1)/32))-way word select + 64-bit funnel), then one
+    buffer shift by c (word step 0..ceil(48U/32), sub-word funnel).
+    """
     B = staged.shape[0]
     L = block_len
     SW = sync_words(L)
     subs = subs_per_block(L)
     UB = buf_words
     T = min(SUB_BLOCK, L)
+    U = _unroll_factor(UB, T)
 
     sub_lens = read_sync_table(staged, L)  # [B, S] i32
     boff = jnp.cumsum(sub_lens, axis=1) - sub_lens + SW * 32
@@ -171,15 +197,37 @@ def unpack_scan(
     ku = k.astype(jnp.uint32)[:, None]
     kmask = (jnp.uint32(1) << ku) - jnp.uint32(1)
     ki = k.astype(jnp.int32)[:, None]
-    zero_col = jnp.zeros((B, subs, 1), jnp.uint32)
 
-    def step(buf, t):
-        w0 = buf[:, :, 0]
-        w1 = buf[:, :, 1]
+    def word_at(buf, d):
+        """buf[:, :, d] with zero fill past the end (static d)."""
+        if d < UB:
+            return buf[:, :, d]
+        return jnp.zeros_like(buf[:, :, 0])
+
+    def decode_at(buf, c, t_abs):
+        """Decode one codeword at dynamic bit offset c (c <= 48*(U-1)).
+
+        Returns (z, new_c). The two window words at bit c come from a
+        static-d select over the possible word offsets, then a funnel by
+        c mod 32 — no gathers, no dynamic slices.
+        """
+        dmax = (48 * (U - 1)) // 32  # max word offset of the window
+        d = c >> 5
+        r = (c & 31).astype(jnp.uint32)
+        u0 = word_at(buf, 0)
+        u1 = word_at(buf, 1)
+        u2 = word_at(buf, 2)
+        for dd in range(1, dmax + 1):
+            sel = d == dd
+            u0 = jnp.where(sel, word_at(buf, dd), u0)
+            u1 = jnp.where(sel, word_at(buf, dd + 1), u1)
+            u2 = jnp.where(sel, word_at(buf, dd + 2), u2)
+        w0 = _funnel_arr(u0, u1, r)
+        w1 = _funnel_arr(u1, u2, r)
+
         ones = _trailing_ones(w0)
         esc = ones >= ESCAPE_Q
         q = jnp.minimum(ones, ESCAPE_Q - 1).astype(jnp.uint32)
-
         # k remainder bits start at bit q+1 (q <= 15, so the 32-bit window
         # (w0 >> (q+1)) | (w1 << (31-q)) holds all of them for k <= 30).
         v = (w0 >> (q + jnp.uint32(1))) | (w1 << (jnp.uint32(31) - q))
@@ -188,23 +236,37 @@ def unpack_scan(
         z = jnp.where(esc, z_esc, z_norm)
 
         length = jnp.where(esc, MAX_CODE_BITS, q.astype(jnp.int32) + 1 + ki)
-        active = t < n_sub
+        active = t_abs < n_sub
         z = jnp.where(active, z, jnp.uint32(0))
-        length = jnp.where(active, length, 0)
+        return z, c + jnp.where(active, length, 0)
 
-        # shift the whole buffer down by `length` bits (<= 48: word step d
-        # is 0 or 1, then a sub-word funnel by length mod 32)
-        d1 = (length >= 32)[:, :, None]
-        s2 = (length & 31).astype(jnp.uint32)[:, :, None]
-        b1 = jnp.concatenate([buf[:, :, 1:], zero_col], axis=2)
-        b2 = jnp.concatenate([buf[:, :, 2:], zero_col, zero_col], axis=2)
-        lo = jnp.where(d1, b1, buf)
-        hi = jnp.where(d1, b2, b1)
+    zero = jnp.zeros((B, subs), jnp.int32)
+
+    def step(buf, t):
+        zs, c = [], zero
+        for j in range(U):
+            z, c = decode_at(buf, c, t * U + j)
+            zs.append(z)
+
+        # shift the whole buffer down by c bits: static-word-step select
+        # (c <= 48*U -> d in [0, ceil(48U/32)]), then a sub-word funnel.
+        d = (c >> 5)[:, :, None]
+        s2 = (c & 31).astype(jnp.uint32)[:, :, None]
+        pad_cols = jnp.zeros((B, subs, (48 * U) // 32 + 2), jnp.uint32)
+        ext = jnp.concatenate([buf, pad_cols], axis=2)
+        lo = ext[:, :, :UB]
+        hi = ext[:, :, 1 : UB + 1]
+        for dd in range(1, (48 * U) // 32 + 1):
+            sel = d == dd
+            lo = jnp.where(sel, ext[:, :, dd : dd + UB], lo)
+            hi = jnp.where(sel, ext[:, :, dd + 1 : dd + 1 + UB], hi)
         buf = _funnel_arr(lo, hi, s2)
-        return buf, z
+        return buf, jnp.stack(zs, axis=-1)  # [B, S, U]
 
-    _, zs = jax.lax.scan(step, buf, jnp.arange(T, dtype=jnp.int32))
-    z = jnp.moveaxis(zs, 0, 2)  # [B, S, T]
+    _, zs = jax.lax.scan(step, buf, jnp.arange(T // U, dtype=jnp.int32))
+    z = jnp.moveaxis(zs, 0, 2).reshape(
+        B, subs, T
+    )  # [T/U, B, S, U] -> [B, S, T/U*U], sample t = U*step + j
 
     if subs == 1:
         return z[:, 0, :L]

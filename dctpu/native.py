@@ -22,6 +22,7 @@ _tried = False
 
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -58,6 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.dctpu_squeeze.argtypes = [
         _u32p, _i64p, _i64p, ctypes.c_int64, _u32p,
+    ]
+    lib.dctpu_build_blocks.argtypes = [
+        _i32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_uint32,
+        _i32p, _i32p, _i32p,
     ]
     _lib = lib
     return _lib
@@ -146,3 +151,27 @@ def segment_scatter(
     if B:
         lib.dctpu_segment_scatter(words, word_off, B, out, width)
     return out
+
+
+def build_blocks(
+    flat: np.ndarray, sstart: np.ndarray, first: np.ndarray,
+    block_len: int, num_blocks: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Native build_blocks_flat core: (x, n, hist) or None.
+
+    Every row of x is fully written (memcpy + tail memset), so x is
+    np.empty — the config-5 feed never pays a redundant zeroing pass.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    sstart = np.ascontiguousarray(sstart, dtype=np.int64)
+    first = np.ascontiguousarray(first, dtype=np.int64)
+    S = sstart.size - 1
+    x = np.empty((num_blocks, block_len), dtype=np.int32)
+    n = np.empty(num_blocks, dtype=np.int32)
+    hist = np.empty((num_blocks, 4), dtype=np.int32)
+    if S:
+        lib.dctpu_build_blocks(flat, sstart, first, S, block_len, x, n, hist)
+    return x, n, hist

@@ -154,6 +154,36 @@ void dctpu_segment_scatter(const uint32_t* words, const int64_t* word_off,
   }
 }
 
+// Host feed (config 5, 10M-stream scale): pack concatenated stream samples
+// into padded [B, L] blocks + per-block valid counts + 4-sample histories.
+// Per-stream memcpy at memory speed, OpenMP over streams; mirrors
+// dctpu.codec.api.build_blocks_flat exactly (tests enforce equality).
+// flat: [total] i32; sstart: [S+1] i64 exclusive sample offsets;
+// first: [S] i64 first-block index per stream; x: [B, L]; n: [B]; hist: [B,4].
+void dctpu_build_blocks(const int32_t* flat, const int64_t* sstart,
+                        const int64_t* first, int64_t S, uint32_t L,
+                        int32_t* x, int32_t* n, int32_t* hist) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t s = 0; s < S; s++) {
+    int64_t len = sstart[s + 1] - sstart[s];
+    int64_t k = (len + L - 1) / L;
+    const int32_t* src = flat + sstart[s];
+    int64_t f = first[s];
+    for (int64_t b = 0; b < k; b++) {
+      int64_t off = b * L;
+      int64_t m = len - off < (int64_t)L ? len - off : (int64_t)L;
+      int32_t* row = x + (f + b) * L;
+      std::memcpy(row, src + off, m * 4);
+      if (m < (int64_t)L) std::memset(row + m, 0, (L - m) * 4);
+      n[f + b] = (int32_t)m;
+      for (int j = 0; j < 4; j++) {
+        int64_t idx = off - 1 - j;
+        hist[(f + b) * 4 + j] = idx >= 0 ? src[idx] : 0;
+      }
+    }
+  }
+}
+
 // Squeeze tile-alignment gaps out of a semi-compact stream: concatenate
 // src[src_off[s] : src_off[s]+len[s]] for every segment (kernels/ragged.py
 // squeeze_host). dst_off: [nseg+1] exclusive output offsets (cumsum of len).

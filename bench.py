@@ -148,7 +148,13 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     flat_d = jnp.asarray(words)
     off_d = jnp.asarray(off.astype(np.int32))
     if coder == "vertical":
-        padded = ragged.stage_vertical_device(flat_d, off_d, L)
+        from dctpu.codec.vertical_host import _parse_sync_rows
+        from dctpu.constants import sync_words as _sw, subs_per_block as _spb
+
+        sync_rows = words[off[:-1, None] + np.arange(_sw(L))[None, :]]
+        bw, _, _ = _parse_sync_rows(sync_rows, _spb(L))
+        span_w = ragged.span_bucket(int(bw.max()) if bw.size else 0)
+        padded = ragged.stage_vertical_device(flat_d, off_d, L, span_w)
         dec_backend, dec_buf = "auto", 0
     else:
         from dctpu.kernels.unpack_scan import buf_bucket, max_sub_bits_host
@@ -186,7 +192,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
 
     def dec_pipe(w, o, salt):
         if coder == "vertical":
-            p = ragged.stage_vertical_device(w ^ salt, o, L)
+            p = ragged.stage_vertical_device(w ^ salt, o, L, span_w)
         else:
             p = ragged.stage_rice_scan_device(w ^ salt, o, L, dec_buf)
         return decode_blocks_body(
@@ -352,9 +358,15 @@ def _bench_adaptive_device(xd, nd, hd, raw_bytes, x, n, L):
         flat_d = jnp.asarray(words)
         off_d = jnp.asarray(off.astype(np.int32))
         if gname == "vertical":
+            from dctpu.codec.vertical_host import _parse_sync_rows
+            sync_rows = words[off[:-1, None] + np.arange(SW)[None, :]]
+            bw, _, _ = _parse_sync_rows(sync_rows, S)
+            span_g = ragged.span_bucket(int(bw.max()) if bw.size else 0)
             def dec_pipe(w, o, salt, n_g=n_g, k_g=k_g, pred_g=pred_g,
                          ti_g=ti_g, h_g=h_g):
-                p = ragged.stage_vertical_device(w ^ salt, o, L)
+                from dctpu.codec.vertical_host import _parse_sync_rows
+                from dctpu.constants import sync_words as _sw2
+                p = ragged.stage_vertical_device(w ^ salt, o, L, span_g)
                 return decode_blocks_body(
                     p, k_g, n_g, pred_g, ti_g, h_g, coeffs, L, True,
                     "auto", "vertical", 32, 0)

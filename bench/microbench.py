@@ -206,11 +206,12 @@ def main():
     defs["vt_exc"] = (_exc, (xd,))
 
     def _dv_trans(p, salt):
-        from dctpu.kernels.vertical_xla import PLANE_REGION, REGION_WORDS
+        # r4: packed rows — unpack to plane words like decode_vertical does
+        from dctpu.kernels.vertical_xla import PLANE_REGION, REGION_PAD, _roll_down_by
         from dctpu.constants import sync_words
         SW = sync_words(L)
-        region = (p ^ salt)[:, SW:].reshape(B, subs, REGION_WORDS)
-        plane_words = region[:, :, :PLANE_REGION].reshape(B, subs, 32, 4)
+        span = (p ^ salt)[:, SW:].reshape(B, subs, REGION_PAD)
+        plane_words = span[:, :, :PLANE_REGION].reshape(B, subs, 32, 4)
         return bit_transpose32(jnp.swapaxes(plane_words, 2, 3))
     if need_dec:
         defs["dv_trans"] = (_dv_trans, (pd,))

@@ -122,7 +122,7 @@ def main():
     report("D pack_scan (the default)", stage_pack_scan, lo, hi, ln)
 
     try:
-        from dctpu.kernels.pack_pallas import pack_pallas
+        from dctpu.kernels.attic.pack_pallas import pack_pallas
 
         def stage_pack_pallas(lo, hi, ln, salt):
             p, bl = pack_pallas(lo ^ salt, hi, ln, valid, L)

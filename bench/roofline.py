@@ -38,7 +38,7 @@ def main():
     from dctpu.format.frame import payload_word_counts
     from dctpu.kernels import ragged
     from dctpu.kernels.vertical_xla import (
-        REGION_WORDS,
+        REGION_PAD,
         decode_vertical,
         encode_vertical,
         vertical_selection_cost,
@@ -125,7 +125,7 @@ def main():
     z0 = jax.jit(
         lambda x, h, c: rebuild_stage(x, h, c, jnp.uint32(0))
     )(xd, hd, choice0)
-    region_b = B * (SW + S * REGION_WORDS) * 4
+    region_b = B * (SW + S * REGION_PAD) * 4  # packed rows (r4 layout)
 
     def emit_stage(z, n, salt):
         return encode_vertical(z ^ salt, n, L, exc_backend="pallas")
@@ -176,22 +176,30 @@ def main():
     starts0 = (off_d[:-1, None] + SW + suboff0).reshape(-1)
 
     def gather_stage(flat, starts, salt):
-        return ragged.tile_window_gather(flat ^ salt, starts,
-                                         ragged.REGION_PAD)
+        return ragged.tile_window_gather(
+            flat ^ salt, starts, REGION_PAD, ragged.STAGE_GATHER_TILE)
 
     stage("v_stage_gather_only", gather_stage, (flat_d, starts0),
           comp_b + B * S * ragged.REGION_PAD * 4,
           "read comp words (windowed), write padded spans")
 
+    from dctpu.codec.vertical_host import _parse_sync_rows
+
+    sync_rows = words[off[:-1, None] + np.arange(SW)[None, :]]
+    bw_h, _, _ = _parse_sync_rows(sync_rows, S)
+    span_w = ragged.span_bucket(int(bw_h.max()) if bw_h.size else 0)
+
     def dstage_stage(flat, o, salt):
-        return ragged.stage_vertical_device(flat ^ salt, o, L)
+        return ragged.stage_vertical_device(flat ^ salt, o, L, span_w)
 
     t_stg = stage("v_stage_full", dstage_stage, (flat_d, off_d),
-                  comp_b + region_b, "read comp words, write regions")
+                  comp_b + region_b,
+                  f"read comp words (span={span_w}), write packed rows")
 
     padded = jax.jit(
-        ragged.stage_vertical_device, static_argnames=("block_len",)
-    )(flat_d, off_d, L)
+        ragged.stage_vertical_device,
+        static_argnames=("block_len", "span_words"),
+    )(flat_d, off_d, L, span_w)
 
     def dkern_stage(p, salt):
         return decode_vertical(p ^ salt, nd, L)

@@ -121,6 +121,22 @@ def main():
             jax.block_until_ready(enc.payload)
         dt = (time.perf_counter() - t0) / reps
 
+        # ---- per-stage breakdown (round-3 VERDICT missing #4): host block
+        # build, device encode (above), host compact-fetch+squeeze, frame
+        # write — the columns that show whether any HOST stage scales with
+        # device count (it must not: host work is per-block, device-count
+        # independent).
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            capi.build_blocks(streams, L)
+        t_build = (time.perf_counter() - t0) / reps
+        bl = np.asarray(enc.bit_len[:B])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            words = capi.compact_enc_payload_device(
+                enc.payload, bl, L, "vertical")
+        t_compact = (time.perf_counter() - t0) / reps
+
         if t1 is None:
             t1 = dt
         eff = t1 / dt
@@ -128,6 +144,8 @@ def main():
             "ndev": ndev,
             "blocks": B,
             "encode_s": round(dt, 4),
+            "host_build_s": round(t_build, 4),
+            "compact_fetch_squeeze_s": round(t_compact, 4),
             "weak_efficiency_vs_1dev": round(eff, 3),
             "encode_collectives": colls,
         }
@@ -205,12 +223,42 @@ def main():
     print(f"decode collectives at ndev={ndev}: {dec_colls or 'none'}",
           file=sys.stderr)
 
+    # adaptive path audit (round-3 VERDICT missing #4: the select/emit HLO
+    # was never inventoried): adaptive_select + both emit groups at the
+    # largest mesh
+    from dctpu.dist.sharded import adaptive_select_sharded, emit_blocks_sharded
+
+    cfg_a = CodecConfig(coder="adaptive", block_len=L)
+    xd8 = jnp.zeros((B, L), jnp.int32)
+    nd8 = jnp.full(B, L, jnp.int32)
+    hd8 = jnp.zeros((B, 4), jnp.int32)
+    sel_colls = collective_bytes(
+        adaptive_select_sharded.lower(xd8, nd8, hd8, cfg_a, mesh)
+        .compile().as_text()
+    )
+    results["adaptive_select_collectives"] = sel_colls
+    emit_colls = {}
+    for gname in ("rice", "vertical"):
+        emit_colls[gname] = collective_bytes(
+            emit_blocks_sharded.lower(
+                xd8, nd8, hd8, zeros, zeros, cfg_a, gname, mesh, "xla"
+            ).compile().as_text()
+        )
+    results["adaptive_emit_collectives"] = emit_colls
+    print(f"adaptive collectives at ndev={ndev}: select={sel_colls or 'none'} "
+          f"emit={emit_colls}", file=sys.stderr)
+
     # hard assertions: nothing per-sample crosses the mesh
     for row in results["mesh"]:
         big = [c for c in row["encode_collectives"] if c[1] > 64 * 1024]
         assert not big, f"per-sample encode collective at ndev={row['ndev']}: {big}"
     big = [c for c in dec_colls if c[1] > 64 * 1024]
     assert not big, f"per-sample decode collective: {big}"
+    big = [c for c in sel_colls if c[1] > 64 * 1024]
+    assert not big, f"per-sample adaptive-select collective: {big}"
+    for gname, cl in emit_colls.items():
+        big = [c for c in cl if c[1] > 64 * 1024]
+        assert not big, f"per-sample adaptive-emit[{gname}] collective: {big}"
 
     with open("scaling_results.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -124,6 +124,13 @@ def main() -> int:
              cfg_r, "rice", static=("cfg", "coder", "backend"))
     _compile("emit_blocks[vertical]", emit_blocks_body, xj, nj, hj, choice,
              kz, cfg_v, "vertical", static=("cfg", "coder", "backend"))
+    # exc_extract_pallas is no longer on the "auto" path (r4: XLA wins the
+    # fused head-to-head) but stays supported via backend="pallas" — keep
+    # its lowering gated:
+    _compile("emit_blocks[vertical,pallas-exc]",
+             lambda x, n, h, c, k: emit_blocks_body(
+                 x, n, h, c, k, cfg_v, "vertical", "pallas"),
+             xj, nj, hj, choice, kz)
 
     # decode entry points: stage a real frame so shapes/buf_words are honest
     for coder, cfg in (("rice", cfg_r), ("vertical", cfg_v)):
@@ -133,61 +140,17 @@ def main() -> int:
         _status(f"decompress[{coder}] device path", t0)
         del out
 
-    # worst-case kernel parameterizations the tiny round trips above may not
-    # reach (BENCH r3 interim: TR=256 x max_planes=32 decode blew the 16 MB
-    # scoped-VMEM limit at bench geometry; per-program VMEM is independent
-    # of row count, so a small-R compile catches it)
-    from dctpu.kernels.vertical_pallas import (
-        decode_vertical_pallas,
-        region_pack_pallas,
-    )
+    # production Pallas kernels beyond the entry-point compiles above.
+    # (Retired twins — decode_vertical_pallas, region_pack_pallas,
+    # pack_pallas, unpack_pallas — moved to dctpu/kernels/attic and out of
+    # this gate in r4; see attic/__init__.py for the head-to-head numbers.)
     from dctpu.kernels.select_pallas import rice_totals_pallas
-    from dctpu.constants import subs_per_block
 
-    S = subs_per_block(L)
-    R = B * S
-    regions = jnp.zeros((R, 148), jnp.uint32)
-    ids = jnp.zeros(R, jnp.int32)
-    for mp in (8, 16, 32):
-        t0 = time.time()
-        jax.jit(
-            lambda r, b_, ne, e_, c, mp=mp: decode_vertical_pallas(
-                r, b_, ne, e_, c, mp
-            )
-        ).lower(regions, ids, ids, ids, ids).compile()
-        _status(f"compile decode_vertical_pallas[max_planes={mp}]", t0)
-    t0 = time.time()
-    jax.jit(region_pack_pallas).lower(regions, ids, ids).compile()
-    _status("compile region_pack_pallas", t0)
     t0 = time.time()
     jax.jit(
         lambda z, nn: rice_totals_pallas(z, nn, L, 24, interpret=False)
     ).lower(jnp.zeros((B, L), jnp.uint32), nj).compile()
     _status("compile rice_totals_pallas", t0)
-
-    # non-default Pallas twins (XLA versions won the head-to-head and are
-    # the "auto" picks, but backend="pallas" keeps these reachable — they
-    # must keep compiling): pack_pallas and unpack_pallas
-    from dctpu.kernels.pack_pallas import pack_pallas
-    from dctpu.kernels.unpack_pallas import unpack_pallas
-    from dctpu.kernels.unpack_scan import buf_bucket
-    from dctpu.constants import sync_words
-
-    lo = jnp.zeros((B, L), jnp.uint32)
-    ln = jnp.ones((B, L), jnp.int32)
-    vmask = jnp.ones((B, L), jnp.bool_)
-    t0 = time.time()
-    jax.jit(
-        lambda a, b_, c: pack_pallas(a, b_, c, vmask, L)
-    ).lower(lo, lo, ln).compile()
-    _status("compile pack_pallas (twin)", t0)
-    ub = buf_bucket(40 * 128)
-    staged = jnp.zeros((B, sync_words(L) + S * (ub + 1)), jnp.uint32)
-    t0 = time.time()
-    jax.jit(
-        lambda p, kk, nn: unpack_pallas(p, kk, nn, L, ub)
-    ).lower(staged, ids[:B], nj).compile()
-    _status("compile unpack_pallas (twin)", t0)
 
     # ---- 2. byte-exactness: device frames == scalar reference frames ----
     streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]

@@ -656,7 +656,21 @@ def _decode_blocks_array(
                 )
                 grp_backend = "auto"
             else:
-                padded = ragged.stage_vertical_device(words_d, goff_d, L)
+                # bucketed gather width from the host sync parse (the same
+                # parse also feeds max_planes below)
+                from dctpu.codec.vertical_host import _parse_sync_rows
+                from dctpu.constants import subs_per_block, sync_words
+
+                SW = sync_words(L)
+                sync_rows = frame.payload_words[
+                    off_host[idx, None]
+                    + np.arange(SW, dtype=np.int64)[None, :]
+                ]
+                bw, _, _ = _parse_sync_rows(sync_rows, subs_per_block(L))
+                max_b_stage = int(bw.max()) if bw.size else 0
+                padded = ragged.stage_vertical_device(
+                    words_d, goff_d, L, ragged.span_bucket(max_b_stage)
+                )
                 grp_backend = "auto"
         elif coder == "rice" and use_scan:
             from dctpu.kernels.unpack_scan import (

@@ -33,20 +33,15 @@ def decode_blocks_body(
     buf_words: int = 0,
 ) -> jnp.ndarray:
     if coder == "vertical":
-        # Default is the XLA decoder: measured head-to-head on chip (v5e,
-        # 128 MiB, r3) it beats the compiled Pallas twin at every plane
-        # bucket — 8.12 vs 3.60 GB/s at max_planes=16, 7.91 vs 2.97 at 32
-        # (the Pallas kernel is VMEM-scope-bound to 64-128 row tiles).
-        # backend="pallas" forces the Pallas decoder (kept compiled + bit
-        # -exact under the smoke gate).
-        if backend == "pallas":
-            from dctpu.kernels.vertical_pallas import decode_vertical_staged
+        # XLA decoder only (r4): the Pallas decode twin was retired after
+        # losing every on-chip head-to-head (r3: 8.12 vs 3.60 GB/s at
+        # max_planes=16, 7.91 vs 2.97 at 32 — VMEM scope capped its tiles
+        # at 64-128 rows) and consumed the pre-r4 fixed region layout; the
+        # packed-row layout made it moot (see vertical_xla REGION_PAD
+        # note). History: git log dctpu/kernels/vertical_pallas.py.
+        from dctpu.kernels.vertical_xla import decode_vertical
 
-            z = decode_vertical_staged(payload, n, block_len, max_planes)
-        else:
-            from dctpu.kernels.vertical_xla import decode_vertical
-
-            z = decode_vertical(payload, n, block_len, max_planes)
+        z = decode_vertical(payload, n, block_len, max_planes)
     else:
         z = kernels.unpack(
             payload, k, n, block_len, backend, buf_words

@@ -94,13 +94,15 @@ def _emit_selected(
 
         # backend selects the exception-extraction kernel (the only stage
         # with a Pallas fast path); everything else is shared XLA. "auto"
-        # picks the compiled Pallas kernel on TPU — the XLA extraction
-        # re-reads the sub-shaped z 16+4 times from HBM (~19 of 25 ms of
-        # round-1 encode). An explicit "xla" request is honored (ADVICE r2).
+        # now resolves to the XLA extraction: in the r4 fused encode it
+        # wins the on-chip head-to-head (1.50 vs 3.90 ms isolated, 34.1 vs
+        # 36.7 ms full encode at 128 MiB — bench/profile_vemit.py; the r1
+        # measurement that favored Pallas predates the fused emission,
+        # where XLA re-read the sub-shaped arrays ~20x). backend="pallas"
+        # still forces the Pallas kernel (bit-exact, smoke-gated via the
+        # encode compile).
         exc = "xla"
-        if backend.startswith("pallas") or (
-            backend == "auto" and jax.default_backend() == "tpu"
-        ):
+        if backend.startswith("pallas"):
             exc = "pallas"
         payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
         k = jnp.zeros(B, jnp.int32)
@@ -181,14 +183,31 @@ def adaptive_select_body(
     C = len(cands)
     cand_z = _cand_z_fn(x, history, cands, cfg)
 
-    # per-candidate fused passes — no [C, B, L] stack (see _cand_z_fn)
+    # per-candidate fused passes — no [C, B, L] stack (see _cand_z_fn).
+    # On TPU each candidate costs ONE HBM read: adaptive_totals_pallas
+    # computes the exact rice per-k totals AND the exact vertical word
+    # count in a single VMEM pass (r4; the r3 formulation paid an extra
+    # smear + 32x32-transpose + popcount ~3 passes per candidate for
+    # vertical_total_words). The XLA path remains for other backends and
+    # is bit-identical (tests/test_adaptive.py).
+    use_fused = jax.default_backend() == "tpu"
     ks, rws, vws = [], [], []
+    k_axis = jnp.arange(cfg.k_max + 1, dtype=jnp.int32)
     for ci in range(C):
         z_c = cand_z(ci)
-        k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max)
+        if use_fused:
+            from dctpu.kernels.select_pallas import adaptive_totals_pallas
+
+            totals, vword = adaptive_totals_pallas(z_c, n, L, cfg.k_max)
+            key = jnp.min(totals * 32 + k_axis, axis=-1)
+            k_i = (key & 31).astype(jnp.int32)
+            bits_i = key >> 5
+            vws.append(vword)
+        else:
+            k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max)
+            vws.append(vertical_total_words(z_c, valid, L))
         ks.append(k_i)
         rws.append((bits_i + 31) // 32)
-        vws.append(vertical_total_words(z_c, valid, L))
     k_c = jnp.stack(ks)                                         # [C, B]
     rw_c, vw_c = jnp.stack(rws), jnp.stack(vws)                 # [C, B]
     opts = jnp.stack([rw_c, vw_c], axis=1).reshape(2 * C, B)

@@ -1,15 +1,14 @@
 """Host-side ragged layout transforms for the VERTICAL coder.
 
-The device works on fixed-shape per-sub regions (kernels/vertical_xla.py);
-the on-disk format stores only each sub-block's live words (FORMAT §2.2).
-These vectorized numpy transforms convert between the two:
+Round 4: the device payload layout is PACKED (each sub's REGION_PAD slot
+holds its live disk words verbatim — kernels/vertical_xla.py REGION_PAD
+note), so these transforms are pure segmented word copies between the
+REGION_PAD-strided rows and the canonical disk stream (FORMAT §2.2). The
+native OpenMP path (native/host_transforms.cpp) does per-sub memcpy; the
+numpy fallback is one flat fancy-index pass.
 
-  compact_vertical: device payload rows -> canonical disk words
-  stage_vertical:   canonical disk words -> device payload rows
-
-All index math is bulk numpy (no per-sample Python loops): the mapping from a
-sub-local disk word to its padded-region position is a 3-way piecewise affine
-function of (b, n_exc), evaluated over flat arrays.
+  compact_vertical: packed payload rows -> canonical disk words
+  stage_vertical:   canonical disk words -> packed payload rows
 """
 
 from __future__ import annotations
@@ -19,11 +18,7 @@ from typing import Tuple
 import numpy as np
 
 from dctpu.constants import sub_caps, subs_per_block, sync_words
-from dctpu.kernels.vertical_xla import (
-    PLANE_REGION,
-    POS_REGION,
-    REGION_WORDS,
-)
+from dctpu.kernels.vertical_xla import REGION_PAD
 
 
 def _parse_sync_rows(
@@ -41,13 +36,11 @@ def _parse_sync_rows(
     return b, n_exc, vw
 
 
-def _layout(b: np.ndarray, n_exc: np.ndarray, vw: np.ndarray, block_len: int):
-    """Per-sub word counts + flat piecewise mapping arrays."""
+def _flat_map(b: np.ndarray, n_exc: np.ndarray, vw: np.ndarray, block_len: int):
+    """Per-sub live word counts + flat (block, sub, word) index arrays."""
     B, S = b.shape
     pw = np.array([(c + 31) // 32 for c in sub_caps(block_len)], dtype=np.int64)
-    plane_w = pw[None, :] * b
-    pos_w = (n_exc + 3) // 4
-    wc_sub = plane_w + pos_w + vw  # [B, S]
+    wc_sub = pw[None, :] * b + (n_exc + 3) // 4 + vw  # [B, S]
 
     flat_counts = wc_sub.reshape(-1)
     T = int(flat_counts.sum())
@@ -56,29 +49,11 @@ def _layout(b: np.ndarray, n_exc: np.ndarray, vw: np.ndarray, block_len: int):
     seg_id = np.repeat(np.arange(flat_counts.size, dtype=np.int64), flat_counts)
     w_local = np.arange(T, dtype=np.int64) - seg_off[seg_id]
     bi, si = seg_id // S, seg_id % S
-
-    pbf = plane_w[bi, si]
-    poswf = pos_w[bi, si]
-    pwf = pw[si]
-    in_planes = w_local < pbf
-    in_pos = ~in_planes & (w_local < pbf + poswf)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = np.where(pwf > 0, w_local // np.maximum(pwf, 1), 0)
-        wr = w_local - p * pwf
-    region_idx = np.where(
-        in_planes,
-        4 * p + wr,
-        np.where(
-            in_pos,
-            PLANE_REGION + (w_local - pbf),
-            PLANE_REGION + POS_REGION + (w_local - pbf - poswf),
-        ),
-    )
-    return wc_sub, seg_off, bi, si, region_idx
+    return wc_sub, seg_off, bi, si, w_local
 
 
 def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Device payload rows [B, W] -> (disk words, per-block word counts)."""
+    """Packed payload rows [B, W] -> (disk words, per-block word counts)."""
     from dctpu import native
 
     fast = native.vert_compact(payload, block_len)
@@ -89,7 +64,7 @@ def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, n
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
     b, n_exc, vw = _parse_sync_rows(payload[:, :SW], S)
-    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, vw, block_len)
+    wc_sub, seg_off, bi, si, w_local = _flat_map(b, n_exc, vw, block_len)
 
     wc_block = SW + wc_sub.sum(axis=1)  # [B]
     block_off = np.zeros(B + 1, dtype=np.int64)
@@ -100,13 +75,12 @@ def compact_vertical(payload: np.ndarray, block_len: int) -> Tuple[np.ndarray, n
     sync_dst = block_off[:B, None] + np.arange(SW, dtype=np.int64)[None, :]
     out[sync_dst.reshape(-1)] = payload[:, :SW].reshape(-1)
 
-    # sub words: destination = block start + SW + position among block's sub words
+    # sub words: live prefix of each REGION_PAD slot, in order
     block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
-    within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
+    within_block = np.arange(w_local.size, dtype=np.int64) - block_seg0[bi]
     dst = block_off[bi] + SW + within_block
-    # flat 1-D fancy indexing is ~10x faster than 2-D (row, col) indexing
     W = payload.shape[1]
-    src = payload.reshape(-1)[bi * W + SW + si * REGION_WORDS + region_idx]
+    src = payload.reshape(-1)[bi * W + SW + si * REGION_PAD + w_local]
     out[dst] = src
     return out, wc_block
 
@@ -116,11 +90,11 @@ def stage_vertical(
     word_off: np.ndarray,  # [B+1] per-block disk word offsets
     block_len: int,
 ) -> np.ndarray:
-    """Canonical disk words -> device payload rows [B, SW + S*REGION_WORDS]."""
+    """Canonical disk words -> packed payload rows [B, SW + S*REGION_PAD]."""
     B = word_off.size - 1
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
-    W = SW + S * REGION_WORDS
+    W = SW + S * REGION_PAD
 
     from dctpu import native
 
@@ -136,12 +110,12 @@ def stage_vertical(
     out[:, :SW] = disk_words[sync_src]
 
     b, n_exc, vw = _parse_sync_rows(out[:, :SW], S)
-    wc_sub, seg_off, bi, si, region_idx = _layout(b, n_exc, vw, block_len)
+    wc_sub, seg_off, bi, si, w_local = _flat_map(b, n_exc, vw, block_len)
 
     block_seg0 = seg_off[np.arange(B, dtype=np.int64) * S]
-    within_block = np.arange(region_idx.size, dtype=np.int64) - block_seg0[bi]
+    within_block = np.arange(w_local.size, dtype=np.int64) - block_seg0[bi]
     src = disk_words[word_off[bi] + SW + within_block]
-    out.reshape(-1)[bi * W + SW + si * REGION_WORDS + region_idx] = src
+    out.reshape(-1)[bi * W + SW + si * REGION_PAD + w_local] = src
     return out
 
 

@@ -1,12 +1,13 @@
 """Bit pack/unpack kernels: the codec's hot layer (SURVEY.md §2.1).
 
-Two interchangeable backends behind one interface:
-  - pack_xla / unpack_xla: pure-XLA v0 — the permanent, CPU-testable fallback
-    that also serves as the executable kernel spec.
-  - pack_pallas / unpack_pallas: Pallas TPU kernels (VMEM-resident, one grid
-    program per block tile).
-
-Dispatch lives in dctpu.kernels.api.
+Interchangeable backends behind one interface (dispatch in
+dctpu.kernels.api):
+  - pack_scan / unpack_scan: the production XLA kernels ("auto" picks —
+    they won every on-chip head-to-head).
+  - pack_xla / unpack_xla: pure-XLA v0 — the permanent, CPU-testable
+    fallback that also serves as the executable kernel spec.
+  - attic/pack_pallas, attic/unpack_pallas: retired Pallas twins, kept for
+    regression tests only (see attic/__init__.py for the numbers).
 """
 
 from dctpu.kernels.api import pack, unpack  # noqa: F401

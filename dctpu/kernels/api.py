@@ -42,7 +42,7 @@ def pack(code_lo, code_hi, length, valid, block_len: int, backend: str | None = 
     if backend == "scatter":
         return pack_xla(code_lo, code_hi, length, valid, block_len)
     if backend == "pallas":
-        from dctpu.kernels.pack_pallas import pack_pallas
+        from dctpu.kernels.attic.pack_pallas import pack_pallas
 
         return pack_pallas(code_lo, code_hi, length, valid, block_len)
     raise ValueError(f"unknown kernel backend {backend!r}")
@@ -72,7 +72,7 @@ def unpack(
     if backend == "xla":
         return unpack_xla(payload, k, n, block_len)
     if backend == "pallas":
-        from dctpu.kernels.unpack_pallas import unpack_pallas
+        from dctpu.kernels.attic.unpack_pallas import unpack_pallas
 
         return unpack_pallas(payload, k, n, block_len, buf_words)
     raise ValueError(f"unknown kernel backend {backend!r}")

@@ -44,11 +44,7 @@ from dctpu.constants import (
     subs_per_block,
     sync_words,
 )
-from dctpu.kernels.vertical_xla import (
-    PLANE_REGION,
-    POS_REGION,
-    REGION_WORDS,
-)
+from dctpu.kernels.vertical_xla import REGION_PAD
 
 RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
 # VERT_TILE trades alignment waste (<= TILE-1 words per sub segment, link
@@ -56,17 +52,13 @@ RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
 # (the dominant compaction cost at ~18 ns per output row, measured). 8 -> 16
 # halved the segment-compact gather at +~12% link bytes (r3).
 VERT_TILE = 16
-REGION_PAD = 160   # REGION_WORDS=148 padded to a VERT_TILE multiple
+assert REGION_PAD % VERT_TILE == 0
 # Decode-staging window gathers read at tile granularity INDEPENDENT of the
 # semi/disk lattice (the barrel realign handles any alignment). Measured on
 # chip (bench/probe_tiles.py, 262144 windows): REGION_PAD windows 32.9 ms at
 # tile=16 -> 16.0 ms at 64; UB+1 windows 18.1 -> 14.4 ms. 128 regresses
 # (per-index cost doubles once rows span >1 HBM burst).
 STAGE_GATHER_TILE = 64
-
-from dctpu.kernels.vertical_pallas import REGION_PAD as _KERNEL_REGION_PAD
-
-assert _KERNEL_REGION_PAD == REGION_PAD, "region_pack_pallas lattice mismatch"
 
 
 def _cdiv(a, b):
@@ -249,65 +241,13 @@ def stage_rice_scan_device(
 
 # ------------------------------------------------------------ vertical
 
-# Region repack: the device region layout is p-major plane slots [4p, 4p+4)
-# with pos words at fixed 128 and vals at 132 (vertical_xla). The disk
-# layout per sub is the live prefix [pw*b plane words | ceil(n_exc/4) pos |
-# n_exc vals]. _pack_region / _unpack_region convert between them with pure
-# reshapes, pads, and b-indexed barrel rolls — no gathers.
+# Round 4: device payload rows are PACKED (each sub's REGION_PAD slot holds
+# its live disk words — vertical_xla REGION_PAD note), so compaction is a
+# pure segment gather and staging a pure window gather. The pack/unpack
+# barrel rolls live inside encode_vertical / decode_vertical, fused with
+# the plane transposes.
 
-
-def _plane_pack(region: jnp.ndarray, pwv: int) -> jnp.ndarray:
-    """[..., 128] plane slots (stride 4) -> [..., 128] live-packed (stride pwv)."""
-    if pwv == 4:
-        return region
-    lead = region.shape[:-1]
-    packed = region.reshape(lead + (32, 4))[..., :pwv].reshape(lead + (32 * pwv,))
-    return jnp.pad(packed, [(0, 0)] * len(lead) + [(0, 128 - 32 * pwv)])
-
-
-def _plane_unpack(packed: jnp.ndarray, pwv: int) -> jnp.ndarray:
-    """Inverse of _plane_pack."""
-    if pwv == 4:
-        return packed
-    lead = packed.shape[:-1]
-    v = packed[..., : 32 * pwv].reshape(lead + (32, pwv))
-    v = jnp.pad(v, [(0, 0)] * len(lead) + [(0, 0), (0, 4 - pwv)])
-    return v.reshape(lead + (128,))
-
-
-def _roll_up_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
-    """Shift x right (toward higher slots) by amt*step along the last axis.
-
-    amt: broadcastable integer array with values in [0, 32]; barrel of
-    masked static shifts (step * 2^j). Zero fill."""
-    for j in range(6):  # amt <= 32 -> bits 0..5
-        sh = step << j
-        if sh >= x.shape[-1]:
-            break
-        shifted = jnp.pad(x[..., :-sh], [(0, 0)] * (x.ndim - 1) + [(sh, 0)])
-        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
-    return x
-
-
-def _roll_down_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
-    """Shift x left (toward lower slots) by amt*step; zero fill."""
-    for j in range(6):
-        sh = step << j
-        if sh >= x.shape[-1]:
-            break
-        shifted = jnp.pad(x[..., sh:], [(0, 0)] * (x.ndim - 1) + [(0, sh)])
-        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
-    return x
-
-
-def _pw_groups(block_len: int):
-    """Static sub-index groups by plane word count pw (usually just {4})."""
-    caps = sub_caps(block_len)
-    pws = [(c + 31) // 32 for c in caps]
-    groups = {}
-    for s, pw in enumerate(pws):
-        groups.setdefault(pw, []).append(s)
-    return groups, np.asarray(pws, np.int32)
+from dctpu.kernels.vertical_xla import _pw_groups  # noqa: E402
 
 
 def vertical_parse_sync(entries: jnp.ndarray):
@@ -327,81 +267,32 @@ def vertical_wc_sub(entries: jnp.ndarray, pw: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("block_len", "total_tiles"))
 def compact_vertical_semi(
-    rows: jnp.ndarray,  # [B, SW + S*REGION_WORDS] u32 device payload rows
+    rows: jnp.ndarray,  # [B, SW + S*REGION_PAD] u32 PACKED payload rows
     block_len: int,
     total_tiles: int,
 ) -> jnp.ndarray:
-    """Device rows -> [total_tiles*VERT_TILE] semi-compact words.
+    """Packed device rows -> [total_tiles*VERT_TILE] semi-compact words.
 
     Segment order: per block, the sync table then each sub's live prefix,
-    every segment VERT_TILE-aligned (host squeezes gaps).
+    every segment VERT_TILE-aligned (host squeezes gaps). Rows are already
+    packed (encode_vertical emits live prefixes), so this is sync parsing
+    plus ONE live-tile segment gather — the r3 repack pass is gone.
     """
     B = rows.shape[0]
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
-    groups, pws = _pw_groups(block_len)
+    _, pws = _pw_groups(block_len)
 
     sync = rows[:, :SW]
     entries = _sync_u16(sync, S)
-    b, n_exc, _vw = vertical_parse_sync(entries)
-    b = b.astype(jnp.int32)
     pw_d = jnp.asarray(pws)
     wc_sub = vertical_wc_sub(entries, pw_d)
-
-    region = rows[:, SW:].reshape(B, S, REGION_WORDS)
-    if set(groups) == {4}:
-        # uniform pw=4 (block_len % 128 == 0, the production geometry):
-        # VMEM-resident Pallas region pack — one HBM read + one write
-        # instead of the two barrel-shift passes below (compiled on TPU,
-        # interpreter elsewhere so tests cover the same code path).
-        from dctpu.kernels.vertical_pallas import region_pack_pallas
-
-        packed = region_pack_pallas(
-            region.reshape(B * S, REGION_WORDS),
-            b.reshape(-1),
-            n_exc.reshape(-1).astype(jnp.int32),
-        ).reshape(B, S, REGION_PAD)
-    else:
-        # pack each region to its live prefix: planes (pw-grouped reshape),
-        # then the 20-word tail rolled up to pw*b
-        planes = region[:, :, :PLANE_REGION]
-        packed_planes = jnp.zeros_like(planes)
-        for pwv, subs_list in groups.items():
-            mask = np.zeros(S, bool)
-            mask[subs_list] = True
-            m = jnp.asarray(mask)[None, :, None]
-            packed_planes = jnp.where(
-                m, _plane_pack(planes, pwv), packed_planes
-            )
-        # zero plane words at/after pw*b (slots past the live prefix)
-        slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
-        live_planes = slot < (pw_d[None, :, None] * b[:, :, None])
-        packed_planes = jnp.where(live_planes, packed_planes, jnp.uint32(0))
-
-        tail = region[:, :, PLANE_REGION:]  # [B, S, 20]: [4 pos | 16 vals]
-        # close the gap between the fixed 4-slot pos area and the vals when
-        # posw < 4: packed tail = [posw pos words | n_exc vals]
-        posw = ((n_exc + 3) // 4)[:, :, None]
-        tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
-        vals_down = _roll_down_by(tail, POS_REGION - posw, 1)
-        tail = jnp.where(tslot < posw, tail, vals_down)
-        tail = jnp.pad(tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION))))
-        packed = jnp.pad(packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION)))
-        rolled = jnp.zeros_like(packed)
-        for pwv, subs_list in groups.items():
-            mask = np.zeros(S, bool)
-            mask[subs_list] = True
-            m = jnp.asarray(mask)[None, :, None]
-            rolled = jnp.where(m, _roll_up_by(tail, b[:, :, None], pwv), rolled)
-        packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
 
     # combined per-block source: [SWT sync tiles | S * RPT region tiles]
     SWT = _cdiv(SW, VERT_TILE)
     RPT = REGION_PAD // VERT_TILE
     sync_pad = jnp.pad(sync, ((0, 0), (0, SWT * VERT_TILE - SW)))
-    combined = jnp.concatenate(
-        [sync_pad, packed.reshape(B, S * REGION_PAD)], axis=1
-    )
+    combined = jnp.concatenate([sync_pad, rows[:, SW:]], axis=1)
     src_tiles = combined.reshape(-1, VERT_TILE)
 
     tc_sub = _cdiv_arr(wc_sub, VERT_TILE)
@@ -437,76 +328,62 @@ def vertical_sync_entries_device(
     return _sync_u16(sync, S)
 
 
-@functools.partial(jax.jit, static_argnames=("block_len",))
+def span_bucket(max_b: int) -> int:
+    """Static gather width covering every sub at max plane width max_b.
+
+    Live words per sub <= 4*b + POS words + vals <= 4*b + 20; bucketing by
+    the plane buckets bounds compile variants while the gather reads only
+    ~the live width instead of the full REGION_PAD window (fewer tile
+    indices — the staging gather is index-count-bound)."""
+    from dctpu.kernels.vertical_xla import plane_bucket
+
+    return min(4 * plane_bucket(max_b) + 20, REGION_PAD)
+
+
+@functools.partial(jax.jit, static_argnames=("block_len", "span_words"))
 def stage_vertical_device(
     flat: jnp.ndarray,      # [N] u32 disk words
     word_off: jnp.ndarray,  # [B+1] i32
     block_len: int,
+    span_words: int = REGION_PAD,
 ) -> jnp.ndarray:
-    """Device twin of codec.vertical_host.stage_vertical.
+    """Disk words -> [B, SW + S*REGION_PAD] PACKED rows (device).
 
-    Window-gathers each sub's live span, then expands it into the fixed
-    region layout with reshapes and b-indexed rolls (no gathers).
+    A pure window gather: each sub's live span lands verbatim in its
+    REGION_PAD slot, zero-masked past its live word count (decode_vertical
+    requires that). The r3 fixed-layout expansion (plane regroup + rolls)
+    moved into decode_vertical where it fuses with the plane transpose.
+
+    span_words: static gather width (span_bucket(max_b) from a host sync
+    parse); every sub's live count must be <= span_words — asserted cheaply
+    via the zero-mask contract (words beyond are zero-filled, so a too-
+    small span would corrupt decode, which the callers' bucketing rules
+    out: wc_sub <= 4*b_max + 20).
     """
     B = int(word_off.shape[0]) - 1
     S = subs_per_block(block_len)
     SW = sync_words(block_len)
-    W = SW + S * REGION_WORDS
+    W = SW + S * REGION_PAD
     if B == 0 or flat.shape[0] == 0:
         return jnp.zeros((B, W), jnp.uint32)
-    groups, pws = _pw_groups(block_len)
+    _, pws = _pw_groups(block_len)
 
     sync = tile_window_gather(flat, word_off[:-1], SW)
     entries = _sync_u16(sync, S)
-    b, n_exc, vw = vertical_parse_sync(entries)
-    b = b.astype(jnp.int32)
-    n_exc = n_exc.astype(jnp.int32)
-    vw = vw.astype(jnp.int32)
     pw_d = jnp.asarray(pws)
     wc_sub = vertical_wc_sub(entries, pw_d)
     suboff = jnp.cumsum(wc_sub, axis=1) - wc_sub  # [B, S] within block body
 
     starts = (word_off[:-1, None] + SW + suboff).reshape(-1)
     span = tile_window_gather(
-        flat, starts, REGION_PAD, STAGE_GATHER_TILE
-    ).reshape(B, S, REGION_PAD)
-    # mask garbage beyond each sub's live words
+        flat, starts, span_words, STAGE_GATHER_TILE
+    ).reshape(B, S, span_words)
+    if span_words < REGION_PAD:
+        span = jnp.pad(span, ((0, 0), (0, 0), (0, REGION_PAD - span_words)))
+    # zero-mask beyond each sub's live words (decode's contract)
     slot = jnp.arange(REGION_PAD, dtype=jnp.int32)[None, None, :]
     span = jnp.where(slot < wc_sub[:, :, None], span, jnp.uint32(0))
-
-    # planes: live-packed prefix -> fixed stride-4 slots
-    planes = jnp.zeros((B, S, PLANE_REGION), jnp.uint32)
-    tails = jnp.zeros((B, S, REGION_PAD), jnp.uint32)
-    for pwv, subs_list in groups.items():
-        mask = np.zeros(S, bool)
-        mask[subs_list] = True
-        m = jnp.asarray(mask)[None, :, None]
-        planes = jnp.where(
-            m, _plane_unpack(span[:, :, :PLANE_REGION], pwv), planes
-        )
-        tails = jnp.where(
-            m, _roll_down_by(span, b[:, :, None], pwv), tails
-        )
-    # zero plane slots of planes >= b (they may hold pos/val words)
-    slotp = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
-    planes = jnp.where(slotp >> 2 < b[:, :, None], planes, jnp.uint32(0))
-
-    posw = (n_exc + 3) // 4
-    tail20 = tails[:, :, : REGION_WORDS - PLANE_REGION]  # [B, S, 20]
-    tslot = jnp.arange(REGION_WORDS - PLANE_REGION, dtype=jnp.int32)[None, None, :]
-    pos_live = tslot < posw[:, :, None]
-    val_live = (tslot >= POS_REGION) & (
-        tslot < POS_REGION + vw[:, :, None]
-    )
-    # pos words occupy tail[0:posw); vals tail[posw : posw+n_exc). Move vals
-    # up to the fixed POS_REGION boundary: roll up by (POS_REGION - posw).
-    vals_at_fixed = _roll_up_by(tail20, POS_REGION - posw[:, :, None], 1)
-    tail_fixed = jnp.where(
-        pos_live, tail20, jnp.where(val_live, vals_at_fixed, jnp.uint32(0))
-    )
-
-    region = jnp.concatenate([planes, tail_fixed], axis=2)
-    return jnp.concatenate([sync, region.reshape(B, S * REGION_WORDS)], axis=1)
+    return jnp.concatenate([sync, span.reshape(B, S * REGION_PAD)], axis=1)
 
 
 # ------------------------------------------------------------ subsets

@@ -46,6 +46,134 @@ def _totals_kernel(z_ref, cnt_ref, out_ref, *, k_max):
     out_ref[:, :] = jnp.concatenate(cols, axis=1)
 
 
+def _adaptive_kernel(z_ref, cnt_ref, pw_ref, out_ref, *, k_max):
+    """Joint totals for FORMAT §4.1 selection, one VMEM pass over z.
+
+    out[:, :k_max+1] = exact rice coded bits per k (== _totals_kernel);
+    out[:, k_max+1]  = exact VERTICAL live word count for this sub-row
+                       (mirrors vertical_xla._select_width: argmin_b of
+                       words(b) over b with n_exc(b) <= EXC_CAP, ties ->
+                       smallest b — only the word count is needed here).
+
+    Replaces the per-candidate smear + 32x32 transpose + popcount passes of
+    vertical_total_words (~3 HBM passes each) in adaptive_select.
+    """
+    from dctpu.constants import EXC_CAP
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, SUB_BLOCK), 1)
+    z = z_ref[:, :]
+    valid = lane < cnt_ref[:, :]
+    zv = jnp.where(valid, z, jnp.uint32(0))
+    cols = []
+    for k in range(k_max + 1):
+        q4 = ((z >> jnp.uint32(k)) & jnp.uint32(15)).astype(jnp.int32)
+        esc = (z >> jnp.uint32(k + 4)) != jnp.uint32(0)
+        ln = jnp.where(esc, jnp.int32(MAX_CODE_BITS), q4 + jnp.int32(k + 1))
+        ln = jnp.where(valid, ln, jnp.int32(0))
+        cols.append(jnp.sum(ln, axis=1, keepdims=True, dtype=jnp.int32))
+
+    # E[b] = #samples with bitlen > b (zv zeroed on invalid lanes)
+    E = [
+        jnp.sum(
+            ((zv >> jnp.uint32(b)) != jnp.uint32(0)).astype(jnp.int32),
+            axis=1, keepdims=True, dtype=jnp.int32,
+        )
+        for b in range(33)
+    ]
+    blmax = jnp.zeros((TR, 1), jnp.int32)
+    for b in range(33):
+        blmax = blmax + (E[b] > jnp.int32(0)).astype(jnp.int32)
+    pw = pw_ref[:, :]  # [TR, 1] plane words of this sub index
+    best_key = None
+    for b in range(33):
+        e_b = jnp.maximum(blmax - jnp.int32(b), jnp.int32(0))
+        vw = jnp.where(
+            E[b] > jnp.int32(0),
+            jnp.minimum(E[b], (e_b + jnp.int32(1)) // jnp.int32(2)),
+            jnp.int32(0),
+        )
+        words = pw * jnp.int32(b) + (E[b] + jnp.int32(3)) // jnp.int32(4) + vw
+        words = jnp.where(
+            E[b] <= jnp.int32(EXC_CAP), words, jnp.int32(1 << 24)
+        )
+        key = words * jnp.int32(64) + jnp.int32(b)
+        best_key = key if best_key is None else jnp.minimum(best_key, key)
+    cols.append(best_key >> jnp.int32(6))
+    out_ref[:, :] = jnp.concatenate(cols, axis=1)
+
+
+def adaptive_totals_pallas(
+    z: jnp.ndarray,   # [..., L] u32 zigzag values (garbage ok past n)
+    n: jnp.ndarray,   # [...] i32 valid counts
+    block_len: int,
+    k_max: int,
+    interpret: bool | None = None,
+):
+    """(rice_totals [..., k_max+1] i32, vertical_words [...] i32).
+
+    One VMEM pass per candidate for the FORMAT §4.1 joint selection — see
+    _adaptive_kernel. Bit-identical to (choose_k_planes totals,
+    vertical_total_words) (tests/test_adaptive.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from dctpu.constants import subs_per_block
+
+    assert k_max < 32 and k_max + 4 <= 28
+    assert block_len * MAX_CODE_BITS < 2**26  # packed-key bound (choose_k)
+    L = block_len
+    lead = z.shape[:-1]
+    subs = subs_per_block(L)
+    pad = subs * SUB_BLOCK - L
+    if pad:
+        z = jnp.pad(z, [(0, 0)] * len(lead) + [(0, pad)])
+    R = int(np.prod(lead, dtype=np.int64)) * subs if lead else subs
+    z_rows = z.reshape(R, SUB_BLOCK)
+
+    sub_start = jnp.arange(subs, dtype=jnp.int32) * SUB_BLOCK
+    cnt = jnp.clip(
+        jnp.asarray(n).astype(jnp.int32)[..., None] - sub_start,
+        0,
+        SUB_BLOCK,
+    ).reshape(R, 1)
+    from dctpu.constants import sub_caps
+
+    pw_row = jnp.asarray(
+        np.array([(c + 31) // 32 for c in sub_caps(L)], np.int32)
+    )
+    pw = jnp.broadcast_to(
+        pw_row[None, :], lead + (subs,) if lead else (subs,)
+    ).reshape(R, 1)
+
+    Rp = (R + TR - 1) // TR * TR
+    if Rp != R:
+        z_rows = jnp.pad(z_rows, ((0, Rp - R), (0, 0)))
+        cnt = jnp.pad(cnt, ((0, Rp - R), (0, 0)))
+        pw = jnp.pad(pw, ((0, Rp - R), (0, 0)))
+
+    K2 = k_max + 2
+    out = pl.pallas_call(
+        functools.partial(_adaptive_kernel, k_max=k_max),
+        grid=(Rp // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, SUB_BLOCK), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, K2), lambda i: (i, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, K2), jnp.int32),
+        interpret=interpret,
+    )(z_rows, cnt, pw)
+    per_sub = out[:R].reshape(lead + (subs, K2))
+    totals = per_sub[..., : k_max + 1].sum(axis=-2, dtype=jnp.int32)
+    vwords = per_sub[..., k_max + 1].sum(axis=-1, dtype=jnp.int32)
+    return totals, vwords
+
+
 def rice_totals_pallas(
     z: jnp.ndarray,   # [..., L] u32 zigzag values (garbage ok past n)
     n: jnp.ndarray,   # [...] i32 valid counts

@@ -39,10 +39,83 @@ PLANE_REGION = 4 * 32          # 32 planes x 4 words
 POS_REGION = EXC_CAP // 4      # 4 words of packed u8 positions
 VAL_REGION = EXC_CAP           # 16 exception value words
 REGION_WORDS = PLANE_REGION + POS_REGION + VAL_REGION  # 148
+# Device payload rows carry each sub's live prefix (the EXACT disk words:
+# pw*b plane words, ceil(n_exc/4) pos words, vw value words — FORMAT §2.2)
+# in a REGION_PAD-word slot. REGION_PAD = REGION_WORDS padded to the
+# VERT_TILE compaction lattice (kernels/ragged.py). Round 4: the packed
+# layout replaced the fixed stride-4 region layout everywhere on device —
+# the encoder emits it directly and the decoder consumes it, so compaction
+# is a pure segment gather and decode staging a pure window gather (the
+# repack/unpack barrel rolls fused into the encode/decode kernels; they
+# previously cost a full extra HBM round trip in each direction).
+REGION_PAD = 160
 
 
 def padded_words_vertical(block_len: int) -> int:
-    return sync_words(block_len) + subs_per_block(block_len) * REGION_WORDS
+    return sync_words(block_len) + subs_per_block(block_len) * REGION_PAD
+
+
+# ---- packed-layout helpers (shared with kernels/ragged.py) --------------
+# The packed region is the live prefix [pw*b plane words | ceil(n_exc/4)
+# pos | vw vals] in a REGION_PAD slot. Conversions to/from the fixed
+# per-plane layout are pure reshapes, pads, and b-indexed barrel rolls —
+# no gathers, so XLA fuses them into the adjacent encode/decode passes.
+
+
+def _plane_pack(region: jnp.ndarray, pwv: int) -> jnp.ndarray:
+    """[..., 128] plane slots (stride 4) -> [..., 128] live-packed (stride pwv)."""
+    if pwv == 4:
+        return region
+    lead = region.shape[:-1]
+    packed = region.reshape(lead + (32, 4))[..., :pwv].reshape(lead + (32 * pwv,))
+    return jnp.pad(packed, [(0, 0)] * len(lead) + [(0, 128 - 32 * pwv)])
+
+
+def _plane_unpack(packed: jnp.ndarray, pwv: int) -> jnp.ndarray:
+    """Inverse of _plane_pack."""
+    if pwv == 4:
+        return packed
+    lead = packed.shape[:-1]
+    v = packed[..., : 32 * pwv].reshape(lead + (32, pwv))
+    v = jnp.pad(v, [(0, 0)] * len(lead) + [(0, 0), (0, 4 - pwv)])
+    return v.reshape(lead + (128,))
+
+
+def _roll_up_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
+    """Shift x right (toward higher slots) by amt*step along the last axis.
+
+    amt: broadcastable integer array with values in [0, 32]; barrel of
+    masked static shifts (step * 2^j). Zero fill."""
+    for j in range(6):  # amt <= 32 -> bits 0..5
+        sh = step << j
+        if sh >= x.shape[-1]:
+            break
+        shifted = jnp.pad(x[..., :-sh], [(0, 0)] * (x.ndim - 1) + [(sh, 0)])
+        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
+    return x
+
+
+def _roll_down_by(x: jnp.ndarray, amt: jnp.ndarray, step: int) -> jnp.ndarray:
+    """Shift x left (toward lower slots) by amt*step; zero fill."""
+    for j in range(6):
+        sh = step << j
+        if sh >= x.shape[-1]:
+            break
+        shifted = jnp.pad(x[..., sh:], [(0, 0)] * (x.ndim - 1) + [(0, sh)])
+        x = jnp.where((amt >> j) & 1 == 1, shifted, x)
+    return x
+
+
+def _pw_groups(block_len: int):
+    """Static sub-index groups by plane word count pw (usually just {4})."""
+    import numpy as np
+
+    caps = sub_caps(block_len)
+    pws = [(c + 31) // 32 for c in caps]
+    groups = {}
+    for s, pw in enumerate(pws):
+        groups.setdefault(pw, []).append(s)
+    return groups, np.asarray(pws, np.int32)
 
 
 def _sub_shape(z: jnp.ndarray, n: jnp.ndarray, block_len: int):
@@ -106,12 +179,36 @@ def exceed_counts(zs: jnp.ndarray) -> jnp.ndarray:
     bit-matrix transpose + popcount instead of 33 masked reductions over the
     sample axis: bit p of smear(z) says bitlen(z) > p, the transpose turns
     plane p into a per-plane bitmask over 32 samples, and popcount counts it.
+
+    Callers that already hold the transposed plane words should use
+    exceed_from_planes instead (saves this second transpose — the r4 emit
+    micro-profile measured the duplicated transpose at ~10 ms of the 36 ms
+    encode at 128 MiB).
     """
     m = _smear(zs)
     mg = m.reshape(m.shape[:-1] + (4, 32))
     mt = bit_transpose32(mg)  # [..., S, 4, 32]: word p bit c = bitlen>p
     cnt = jnp.sum(
         jax.lax.population_count(mt).astype(jnp.int32), axis=-2
+    )  # [..., S, 32]
+    zero = jnp.zeros(cnt.shape[:-1] + (1,), jnp.int32)
+    return jnp.concatenate([cnt, zero], axis=-1)
+
+
+def exceed_from_planes(pw_by_group: jnp.ndarray) -> jnp.ndarray:
+    """exceed_counts from transposed plane words [..., S, 4w, 32p].
+
+    Plane word (w, p) bit c = sample (32w+c) bit p, so a sample exceeds
+    width b iff any of its bits >= b is set: suffix-OR the plane words
+    along p (5 doubling shifts), popcount, sum over the 4 word groups.
+    Bit-identical to exceed_counts (tests).
+    """
+    y = pw_by_group
+    for j in (1, 2, 4, 8, 16):  # y[..., p] |= y[..., p+j]
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, j)]
+        y = y | jnp.pad(y[..., j:], pad)
+    cnt = jnp.sum(
+        jax.lax.population_count(y).astype(jnp.int32), axis=-2
     )  # [..., S, 32]
     zero = jnp.zeros(cnt.shape[:-1] + (1,), jnp.int32)
     return jnp.concatenate([cnt, zero], axis=-1)
@@ -128,27 +225,31 @@ def _select_width(
     (best_b, best_words, best_exc, best_e), each [..., S] i32. b=32 is
     always legal (n_exc(32) == 0), so the argmin domain is never empty.
     """
-    b_axis = jnp.arange(33, dtype=jnp.int32)
     # blmax = number of planes with any exceeding sample (n_exc(b) > 0 for
     # exactly the b < blmax)
     blmax = jnp.sum((n_exc_all > 0).astype(jnp.int32), axis=-1)
-    e_b = jnp.maximum(blmax[..., None] - b_axis, 0)
-    # cheaper of raw (n_exc words) and bit-planed (ceil(e/2) words) layouts
-    vw = jnp.where(
-        n_exc_all > 0, jnp.minimum(n_exc_all, (e_b + 1) // 2), 0
-    )
-    words = pw[..., None] * b_axis + (n_exc_all + 3) // 4 + vw
     # Real word counts are <= PW*32 + 4 + 16 = 148 << 2^24, so the sentinel
     # dominates every legal width and the packed key below stays in int31
     # (words*64 + b < 2^31 requires words < 2^25; the sentinel is 2^24).
     assert PLANE_REGION + POS_REGION + VAL_REGION < (1 << 24)
-    words = jnp.where(n_exc_all <= EXC_CAP, words, jnp.int32(1 << 24))
-    # Single min over a packed (words, b) key — ties pick the smallest b; the
-    # one-hot re-select avoids take_along_axis (TPU gathers cost ~ms here).
-    key = words * 64 + b_axis  # words <= 2^24 sentinel; key fits int32
-    best_key = jnp.min(key, axis=-1)
+    # Unrolled min over b on [..., S] slices: the [..., S, 33]-shaped
+    # formulation put a 33-wide minor axis on the VPU (terrible lane use —
+    # the r4 emit micro-profile measured the sweep at ~7 ms); per-b slices
+    # keep every op on the natural [..., S] layout. Packed (words, b) key:
+    # ties pick the smallest b. Bit-identical to the r3 formulation.
+    best_key = None
+    for b in range(33):
+        n_exc_b = n_exc_all[..., b]
+        e_b = jnp.maximum(blmax - b, 0)
+        # cheaper of raw (n_exc words) and bit-planed (ceil(e/2)) layouts
+        vw = jnp.where(n_exc_b > 0, jnp.minimum(n_exc_b, (e_b + 1) // 2), 0)
+        words = pw * b + (n_exc_b + 3) // 4 + vw
+        words = jnp.where(n_exc_b <= EXC_CAP, words, jnp.int32(1 << 24))
+        key = words * 64 + b
+        best_key = key if best_key is None else jnp.minimum(best_key, key)
     best_b = (best_key & 63).astype(jnp.int32)
     best_words = best_key >> 6
+    b_axis = jnp.arange(33, dtype=jnp.int32)
     onehot = b_axis == best_b[..., None]
     best_exc = jnp.sum(jnp.where(onehot, n_exc_all, 0), axis=-1)
     best_e = jnp.where(best_exc > 0, blmax - best_b, 0)
@@ -255,18 +356,22 @@ def encode_vertical(
     zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
     pw = _plane_word_counts(block_len)[None, :]  # [1, S]
 
-    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
-    # zs is already zeroed outside `valid`, so zero samples never count as
-    # exceeding any plane; one smear+transpose+popcount pass replaces the
-    # 33-reduction sweep (exceed_counts docstring).
-    best_b, best_words, best_exc, best_e = _select_width(exceed_counts(zs), pw)
-    bit_len = 32 * jnp.sum(best_words, axis=1)
-
-    # ---- bit planes: 32x32 bit-matrix transpose per word group ----
+    # ---- bit planes first: 32x32 bit-matrix transpose per word group ----
     zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
     pw_by_group = bit_transpose32(zg)  # [B, S, 4w, 32p]
     plane_words = jnp.swapaxes(pw_by_group, 2, 3)  # [B, S, 32p, 4w] p-major
     plane_region = plane_words.reshape(B, subs, PLANE_REGION)
+
+    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
+    # zs is zeroed outside `valid`, so zero samples never count as exceeding
+    # any plane. The exceed table comes from the plane words above
+    # (suffix-OR + popcount) — the r3 smear+second-transpose formulation
+    # duplicated the 32x32 transpose over the whole input (~10 ms at
+    # 128 MiB, emit micro-profile).
+    best_b, best_words, best_exc, best_e = _select_width(
+        exceed_from_planes(pw_by_group), pw
+    )
+    bit_len = 32 * jnp.sum(best_words, axis=1)
 
     # ---- exceptions: rank-match extraction ----
     if exc_backend == "pallas":
@@ -288,7 +393,7 @@ def encode_vertical(
     raw_layout = best_exc <= (best_e + 1) // 2  # [B, S]
     val_words = jnp.where(raw_layout[:, :, None], vals, planed)
 
-    # ---- sync table + uniform payload region ----
+    # ---- sync table ----
     e_field = jnp.where(best_exc > 0, best_e - 1, 0)
     entry = (best_b | (best_exc << 6) | (e_field << 11)).astype(jnp.uint32)
     if subs % 2:
@@ -296,9 +401,58 @@ def encode_vertical(
     ep = entry.reshape(B, -1, 2)
     sync = ep[:, :, 0] | (ep[:, :, 1] << jnp.uint32(16))  # [B, SW]
 
-    region = jnp.concatenate([plane_region, pos_words, val_words], axis=2)
+    # ---- packed region emission (round 4): each sub's REGION_PAD slot
+    # holds its live prefix — the exact disk words. The pack (plane group
+    # reshape + pos-gap close + b-indexed roll) fuses into the producers
+    # above; the old fixed-layout region plus its separate repack pass in
+    # compaction cost a full extra HBM round trip.
+    import numpy as np
+
+    groups, pws = _pw_groups(block_len)
+    pw_d = jnp.asarray(pws)
+    b3 = best_b[:, :, None]
+    if set(groups) == {4}:
+        packed_planes = plane_region
+    else:
+        packed_planes = jnp.zeros_like(plane_region)
+        for pwv, subs_list in groups.items():
+            mask = np.zeros(subs, bool)
+            mask[subs_list] = True
+            m = jnp.asarray(mask)[None, :, None]
+            packed_planes = jnp.where(
+                m, _plane_pack(plane_region, pwv), packed_planes
+            )
+    slot = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    live_planes = slot < (pw_d[None, :, None] * b3)
+    packed_planes = jnp.where(live_planes, packed_planes, jnp.uint32(0))
+
+    # tail: [posw pos words | vw value words], vals first moved down to
+    # close the (POS_REGION - posw) gap, then the whole tail rolled up to
+    # start at pw*b. Words beyond vw are zero by construction (raw vals
+    # j >= n_exc are zero; planes >= e are zero), so no extra masking.
+    posw = ((best_exc + 3) // 4)[:, :, None]
+    tail20 = jnp.concatenate([pos_words, val_words], axis=2)  # [B, S, 20]
+    tslot = jnp.arange(
+        REGION_WORDS - PLANE_REGION, dtype=jnp.int32
+    )[None, None, :]
+    vals_dn = _roll_down_by(tail20, POS_REGION - posw, 1)
+    tail = jnp.where(tslot < posw, tail20, vals_dn)
+    tail = jnp.pad(
+        tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION)))
+    )
+    packed = jnp.pad(
+        packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION))
+    )
+    rolled = jnp.zeros_like(packed)
+    for pwv, subs_list in groups.items():
+        mask = np.zeros(subs, bool)
+        mask[subs_list] = True
+        m = jnp.asarray(mask)[None, :, None]
+        rolled = jnp.where(m, _roll_up_by(tail, b3, pwv), rolled)
+    packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
+
     payload = jnp.concatenate(
-        [sync, region.reshape(B, subs * REGION_WORDS)], axis=1
+        [sync, packed.reshape(B, subs * REGION_PAD)], axis=1
     )
     return payload, bit_len.astype(jnp.int32)
 
@@ -315,17 +469,24 @@ def plane_bucket(max_b: int) -> int:
 
 
 def decode_vertical(
-    payload: jnp.ndarray,  # [B, SW + SUBS*REGION_WORDS] staged regions
+    payload: jnp.ndarray,  # [B, SW + SUBS*REGION_PAD] staged PACKED rows
     n: jnp.ndarray,        # [B] i32
     block_len: int,
     max_planes: int = 32,
 ) -> jnp.ndarray:
     """Returns z [B, L] u32 (zeros past n). Dense ops only.
 
+    Consumes the packed live-prefix layout (staging is a pure window
+    gather; see the REGION_PAD note at the top). Words at/after each sub's
+    live count must be zero-staged. The un-pack (b-indexed roll-down +
+    plane regroup) fuses into the plane transpose below.
+
     max_planes: static upper bound on any sub-block's width b in this batch
     (planes >= b are zero-staged, so skipping them is exact). The host reads
     it off the sync tables before launch.
     """
+    import numpy as np
+
     B = payload.shape[0]
     subs = subs_per_block(block_len)
     SW = sync_words(block_len)
@@ -338,10 +499,43 @@ def decode_vertical(
     b = (entries & 0x3F).astype(jnp.uint32)       # [B, S]
     n_exc = (entries >> 6) & 0x1F                 # [B, S]
 
-    region = payload[:, SW:].reshape(B, subs, REGION_WORDS)
-    plane_words = region[:, :, :PLANE_REGION].reshape(B, subs, 32, 4)
-    pos_words = region[:, :, PLANE_REGION : PLANE_REGION + POS_REGION]
-    val_words = region[:, :, PLANE_REGION + POS_REGION :]
+    span = payload[:, SW:].reshape(B, subs, REGION_PAD)
+    groups, pws = _pw_groups(block_len)
+    b_i = b.astype(jnp.int32)[:, :, None]
+    if set(groups) == {4}:
+        planes = span[:, :, :PLANE_REGION]
+        tails = _roll_down_by(span, b_i, 4)
+    else:
+        planes = jnp.zeros((B, subs, PLANE_REGION), jnp.uint32)
+        tails = jnp.zeros_like(span)
+        for pwv, subs_list in groups.items():
+            mask = np.zeros(subs, bool)
+            mask[subs_list] = True
+            m = jnp.asarray(mask)[None, :, None]
+            planes = jnp.where(
+                m, _plane_unpack(span[:, :, :PLANE_REGION], pwv), planes
+            )
+            tails = jnp.where(m, _roll_down_by(span, b_i, pwv), tails)
+    # zero plane slots of planes >= b (those words belong to the tail)
+    slotp = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
+    planes = jnp.where(
+        (slotp >> 2) < b_i, planes, jnp.uint32(0)
+    )
+    plane_words = planes.reshape(B, subs, 32, 4)
+
+    # tail: [posw pos | vw vals] -> fixed pos/val slots
+    posw = ((n_exc + 3) // 4).astype(jnp.int32)[:, :, None]
+    tail20 = tails[:, :, : REGION_WORDS - PLANE_REGION]
+    tslot = jnp.arange(
+        REGION_WORDS - PLANE_REGION, dtype=jnp.int32
+    )[None, None, :]
+    vals_up = _roll_up_by(tail20, POS_REGION - posw, 1)
+    pos_words = jnp.where(
+        tslot < posw, tail20, jnp.uint32(0)
+    )[:, :, :POS_REGION]
+    val_words = jnp.where(
+        tslot >= POS_REGION, vals_up, jnp.uint32(0)
+    )[:, :, POS_REGION:]
 
     # exception values (FORMAT §2.2): raw layout when n_exc <= ceil(e/2),
     # else bit-planed — unpack the 16-bit halves into 32 planes, transpose

@@ -21,9 +21,10 @@
 namespace {
 
 constexpr uint32_t SUB_BLOCK = 128;
-constexpr uint32_t PLANE_REGION = 128;
-constexpr uint32_t POS_REGION = 4;
-constexpr uint32_t REGION_WORDS = 148;
+// Round 4: device payload rows are PACKED — each sub's REGION_PAD slot
+// holds its live disk words verbatim (dctpu/kernels/vertical_xla.py), so
+// compact/stage are per-sub memcpys of the live prefix.
+constexpr uint32_t REGION_PAD = 160;
 
 inline uint32_t subs_per_block(uint32_t L) { return (L + SUB_BLOCK - 1) / SUB_BLOCK; }
 inline uint32_t sync_word_count(uint32_t L) { return (subs_per_block(L) + 1) / 2; }
@@ -43,25 +44,10 @@ inline uint32_t val_words(uint16_t sync) {
   return n_exc < ew ? n_exc : ew;
 }
 
-// Copy one sub's live words between device region layout and disk layout.
-// dir=0: region -> disk (compact). dir=1: disk -> region (stage).
-inline void sub_copy(uint32_t* disk, uint32_t* region, uint32_t b,
-                     uint32_t n_exc, uint32_t vw, uint32_t pw, bool to_disk) {
-  uint32_t d = 0;
-  for (uint32_t p = 0; p < b; p++)
-    for (uint32_t w = 0; w < pw; w++, d++) {
-      if (to_disk) disk[d] = region[4 * p + w];
-      else region[4 * p + w] = disk[d];
-    }
-  uint32_t posw = (n_exc + 3) / 4;
-  for (uint32_t w = 0; w < posw; w++, d++) {
-    if (to_disk) disk[d] = region[PLANE_REGION + w];
-    else region[PLANE_REGION + w] = disk[d];
-  }
-  for (uint32_t j = 0; j < vw; j++, d++) {
-    if (to_disk) disk[d] = region[PLANE_REGION + POS_REGION + j];
-    else region[PLANE_REGION + POS_REGION + j] = disk[d];
-  }
+inline uint32_t sub_live_words(uint32_t sync, uint32_t L, uint32_t s) {
+  uint32_t b = sync & 0x3F, n_exc = (sync >> 6) & 0x1F;
+  return plane_words(L, s) * b + (n_exc + 3) / 4 +
+         val_words(static_cast<uint16_t>(sync));
 }
 
 }  // namespace
@@ -86,7 +72,7 @@ void dctpu_vert_block_words(const uint32_t* payload, int64_t B, int64_t W,
   }
 }
 
-// Device payload rows -> canonical disk words.
+// Packed device payload rows [B, SW + S*REGION_PAD] -> canonical disk words.
 // block_off: [B+1] exclusive word offsets (from dctpu_vert_block_words).
 void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
                         uint32_t block_len, const int64_t* block_off,
@@ -101,17 +87,14 @@ void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
     const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
     uint32_t* d = dst + SW;
     for (uint32_t s = 0; s < S; s++) {
-      uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
-      uint32_t vw = val_words(sync[s]);
-      uint32_t pw = plane_words(block_len, s);
-      sub_copy(d, const_cast<uint32_t*>(row) + SW + s * REGION_WORDS, b, n_exc,
-               vw, pw, /*to_disk=*/true);
-      d += pw * b + (n_exc + 3) / 4 + vw;
+      uint32_t wc = sub_live_words(sync[s], block_len, s);
+      memcpy(d, row + SW + s * REGION_PAD, wc * 4);
+      d += wc;
     }
   }
 }
 
-// Canonical disk words -> device payload rows [B, SW + S*REGION_WORDS] (zeroed).
+// Canonical disk words -> packed payload rows [B, SW + S*REGION_PAD] (zeroed).
 void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
                       uint32_t block_len, uint32_t* out, int64_t W) {
   uint32_t S = subs_per_block(block_len);
@@ -124,12 +107,9 @@ void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
     const uint16_t* sync = reinterpret_cast<const uint16_t*>(row);
     const uint32_t* d = src + SW;
     for (uint32_t s = 0; s < S; s++) {
-      uint32_t b = sync[s] & 0x3F, n_exc = (sync[s] >> 6) & 0x1F;
-      uint32_t vw = val_words(sync[s]);
-      uint32_t pw = plane_words(block_len, s);
-      sub_copy(const_cast<uint32_t*>(d), row + SW + s * REGION_WORDS, b, n_exc,
-               vw, pw, /*to_disk=*/false);
-      d += pw * b + (n_exc + 3) / 4 + vw;
+      uint32_t wc = sub_live_words(sync[s], block_len, s);
+      memcpy(row + SW + s * REGION_PAD, d, wc * 4);
+      d += wc;
     }
   }
 }

@@ -87,7 +87,11 @@ def test_scan_batch_mapping(monkeypatch):
 
 
 def test_pallas_batch_mapping(monkeypatch):
-    from dctpu.kernels import pack_pallas as pp
+    import sys
+
+    import dctpu.kernels.attic.pack_pallas  # noqa: F401 (module, not the
+    # re-exported function — attic/__init__ shadows the submodule name)
+    pp = sys.modules["dctpu.kernels.attic.pack_pallas"]
 
     rng = np.random.default_rng(10)
     B, L = 20, 256

@@ -11,9 +11,9 @@ import pytest
 from dctpu.codec import rice
 from dctpu.codec.api import build_blocks
 from dctpu.corpus import synth_corpus
-from dctpu.kernels.pack_pallas import pack_pallas
+from dctpu.kernels.attic.pack_pallas import pack_pallas
 from dctpu.kernels.pack_xla import pack_xla
-from dctpu.kernels.unpack_pallas import unpack_pallas
+from dctpu.kernels.attic.unpack_pallas import unpack_pallas
 from dctpu.kernels.unpack_xla import unpack_xla
 
 

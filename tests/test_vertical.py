@@ -104,3 +104,22 @@ def test_sharded_vertical_matches_single(rng):
     out = decompress_sharded(read_frame(shard), mesh)
     for a, b in zip(streams, out):
         assert np.array_equal(np.asarray(a, np.int32), b)
+
+
+def test_exceed_from_planes_matches_exceed_counts(rng):
+    """r4: the transpose-reusing exceed table must equal the smear one."""
+    import jax.numpy as jnp
+
+    from dctpu.kernels.vertical_xla import (
+        bit_transpose32,
+        exceed_counts,
+        exceed_from_planes,
+    )
+
+    zs = (rng.geometric(0.05, size=(5, 8, 128)) - 1).astype(np.uint32)
+    zs[0, 0] = 0
+    zs[1, 1] = 0xFFFFFFFF
+    zj = jnp.asarray(zs)
+    want = exceed_counts(zj)
+    got = exceed_from_planes(bit_transpose32(zj.reshape(5, 8, 4, 32)))
+    assert np.array_equal(np.asarray(want), np.asarray(got))

@@ -80,7 +80,10 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         return e.bit_len, e.payload
 
     t0 = time.time()
-    enc_t, sp = chained_stats(enc_stage, (xd, nd, hd), k=chain)
+    # vertical: the fused packed-encoder chain OOM-kills the axon compile
+    # helper even at k=2 (r4) — chain=1 means floor-subtracted timing
+    enc_chain = 1 if coder == "vertical" else chain
+    enc_t, sp = chained_stats(enc_stage, (xd, nd, hd), k=enc_chain)
     res["enc_kernel_gbps"] = raw_bytes / enc_t / 1e9
     res["enc_kernel_spread"] = sp
     log(f"[{coder}] device encode kernel: {res['enc_kernel_gbps']:.4f} "
@@ -120,7 +123,7 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         return e.bit_len, words  # full semi stream: no DCE (see enc_stage)
 
     t0 = time.time()
-    pipe_t, sp = chained_stats(enc_pipe, (xd, nd, hd, tc_rice), k=chain)
+    pipe_t, sp = chained_stats(enc_pipe, (xd, nd, hd, tc_rice), k=enc_chain)
     res["enc_pipeline_gbps"] = raw_bytes / pipe_t / 1e9
     res["enc_pipeline_spread"] = sp
     log(f"[{coder}] device encode+compact: {res['enc_pipeline_gbps']:.4f} "
@@ -313,7 +316,7 @@ def _bench_adaptive_device(xd, nd, hd, raw_bytes, x, n, L):
         t_g = chained_seconds(
             emit_pipe,
             (xd, nd, hd, choice_d, k_d, idx_d, tc_rice),
-            k=3,
+            k=1 if gname == "vertical" else 3,  # see enc_chain note
         )
         t_emit += t_g
         res[f"emit_{gname}_ms"] = t_g * 1e3

@@ -137,8 +137,11 @@ def main():
         e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "auto")
         return e.bit_len, e.payload
 
+    # chain=1 -> floor-subtracted absolute timing: the fused full-encode
+    # chain OOM-kills the axon compile helper even at k=2 (r4)
     t_enc = stage("v_encode_full", enc_full, (xd, nd, hd),
-                  2 * raw + region_b, "read x, select, write regions")
+                  2 * raw + region_b, "read x, select, write regions",
+                  chain=1)
 
     # ---- vertical compaction ----
     enc = jax.jit(

@@ -70,9 +70,8 @@ def chained_stats(make_stage, args, k: int = 4, reps: int = 5):
 
         return g
 
-    g1, gk = build(1), build(k)
+    g1 = build(1)
     np.asarray(g1(*args))
-    np.asarray(gk(*args))
 
     def run(g):
         ts = []
@@ -81,6 +80,50 @@ def chained_stats(make_stage, args, k: int = 4, reps: int = 5):
             np.asarray(g(*args))
             ts.append(time.time() - t0)
         return ts
+
+    # The axon remote-compile helper can be OOM-SIGKILLed by large chained
+    # programs (k copies of a big stage in one HLO). Degrade k, and as the
+    # last resort fall back to floor-subtracted single-instance timing
+    # (null-program fetch floor measured with the same method) — accuracy
+    # drops a little, honesty doesn't (the floor subtraction removes the
+    # same dispatch+fetch cost the chain difference cancels).
+    gk = None
+    while k >= 2:  # k=1 from the caller = go straight to the fallback
+        try:
+            gk = build(k)
+            np.asarray(gk(*args))
+            break
+        except Exception:
+            gk = None
+            k = 2 if k == 3 else k // 2
+            import sys
+
+            print(f"[timing] chained compile failed; retrying with k={k}",
+                  file=sys.stderr, flush=True)
+    if gk is None:
+        import sys
+
+        print("[timing] falling back to floor-subtracted absolute timing",
+              file=sys.stderr, flush=True)
+
+        @jax.jit
+        def null_prog(*a):
+            acc = jnp.uint32(0)
+            for leaf in jax.tree_util.tree_leaves(a):
+                f = leaf.ravel()[:1]
+                acc = acc + jnp.sum(
+                    f.astype(jnp.uint32) if f.dtype != jnp.uint32 else f
+                )
+            return acc
+
+        np.asarray(null_prog(*args))
+        floors = sorted(run(null_prog))
+        floor = floors[len(floors) // 2]
+        t1s = sorted(run(g1))
+        ests = sorted(max(t - floor, 1e-9) for t in t1s)
+        med = ests[len(ests) // 2]
+        spread = (ests[-1] - ests[0]) / med if med > 0 else 0.0
+        return med, spread
 
     t1s, tks = run(g1), run(gk)
     ests = sorted(

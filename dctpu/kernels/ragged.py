@@ -288,11 +288,16 @@ def compact_vertical_semi(
     pw_d = jnp.asarray(pws)
     wc_sub = vertical_wc_sub(entries, pw_d)
 
-    # combined per-block source: [SWT sync tiles | S * RPT region tiles]
+    # combined per-block source: [SWT sync tiles | S * RPT region tiles].
+    # When SW is already a VERT_TILE multiple (block_len % 4096 geometry),
+    # rows IS the combined layout — skip the whole-payload concat copy.
     SWT = _cdiv(SW, VERT_TILE)
     RPT = REGION_PAD // VERT_TILE
-    sync_pad = jnp.pad(sync, ((0, 0), (0, SWT * VERT_TILE - SW)))
-    combined = jnp.concatenate([sync_pad, rows[:, SW:]], axis=1)
+    if SW == SWT * VERT_TILE:
+        combined = rows
+    else:
+        sync_pad = jnp.pad(sync, ((0, 0), (0, SWT * VERT_TILE - SW)))
+        combined = jnp.concatenate([sync_pad, rows[:, SW:]], axis=1)
     src_tiles = combined.reshape(-1, VERT_TILE)
 
     tc_sub = _cdiv_arr(wc_sub, VERT_TILE)

@@ -32,18 +32,48 @@ TR = 256  # rows (128-sample sub-blocks) per grid program
 _I0 = np.int32(0)
 
 
-def _totals_kernel(z_ref, cnt_ref, out_ref, *, k_max):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, SUB_BLOCK), 1)
-    z = z_ref[:, :]
-    valid = lane < cnt_ref[:, :]
-    cols = []
-    for k in range(k_max + 1):
+def _len_cols(z, valid, k_max):
+    """Per-k coded-length lane sums [TR, 1] x (k_max+1), PAIR-PACKED.
+
+    Lane reductions dominate this kernel family's cost (measured: the
+    58-reduction adaptive kernel ran ~23 ms/candidate at 128 MiB). A
+    per-lane length is <= MAX_CODE_BITS=48, so a 128-lane sum is < 2^13 —
+    two k's share one i32 reduction in 16-bit fields with no carry between
+    fields (exact). k_max+1 -> ceil((k_max+1)/2) reductions.
+    """
+    half = (k_max + 2) // 2
+    packed = []
+    for k in range(half):
         q4 = ((z >> jnp.uint32(k)) & jnp.uint32(15)).astype(jnp.int32)
         esc = (z >> jnp.uint32(k + 4)) != jnp.uint32(0)
         ln = jnp.where(esc, jnp.int32(MAX_CODE_BITS), q4 + jnp.int32(k + 1))
         ln = jnp.where(valid, ln, jnp.int32(0))
-        cols.append(jnp.sum(ln, axis=1, keepdims=True, dtype=jnp.int32))
-    out_ref[:, :] = jnp.concatenate(cols, axis=1)
+        k2 = k + half
+        if k2 <= k_max:
+            q4b = ((z >> jnp.uint32(k2)) & jnp.uint32(15)).astype(jnp.int32)
+            escb = (z >> jnp.uint32(k2 + 4)) != jnp.uint32(0)
+            lnb = jnp.where(
+                escb, jnp.int32(MAX_CODE_BITS), q4b + jnp.int32(k2 + 1)
+            )
+            lnb = jnp.where(valid, lnb, jnp.int32(0))
+            ln = ln + (lnb << jnp.int32(16))
+        packed.append(
+            jnp.sum(ln, axis=1, keepdims=True, dtype=jnp.int32)
+        )
+    cols = []
+    for k in range(k_max + 1):
+        if k < half:
+            cols.append(packed[k] & jnp.int32(0xFFFF))
+        else:
+            cols.append(packed[k - half] >> jnp.int32(16))
+    return cols
+
+
+def _totals_kernel(z_ref, cnt_ref, out_ref, *, k_max):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, SUB_BLOCK), 1)
+    z = z_ref[:, :]
+    valid = lane < cnt_ref[:, :]
+    out_ref[:, :] = jnp.concatenate(_len_cols(z, valid, k_max), axis=1)
 
 
 def _adaptive_kernel(z_ref, cnt_ref, pw_ref, out_ref, *, k_max):
@@ -64,22 +94,28 @@ def _adaptive_kernel(z_ref, cnt_ref, pw_ref, out_ref, *, k_max):
     z = z_ref[:, :]
     valid = lane < cnt_ref[:, :]
     zv = jnp.where(valid, z, jnp.uint32(0))
-    cols = []
-    for k in range(k_max + 1):
-        q4 = ((z >> jnp.uint32(k)) & jnp.uint32(15)).astype(jnp.int32)
-        esc = (z >> jnp.uint32(k + 4)) != jnp.uint32(0)
-        ln = jnp.where(esc, jnp.int32(MAX_CODE_BITS), q4 + jnp.int32(k + 1))
-        ln = jnp.where(valid, ln, jnp.int32(0))
-        cols.append(jnp.sum(ln, axis=1, keepdims=True, dtype=jnp.int32))
+    cols = _len_cols(z, valid, k_max)
 
-    # E[b] = #samples with bitlen > b (zv zeroed on invalid lanes)
-    E = [
-        jnp.sum(
-            ((zv >> jnp.uint32(b)) != jnp.uint32(0)).astype(jnp.int32),
-            axis=1, keepdims=True, dtype=jnp.int32,
+    # E[b] = #samples with bitlen > b (zv zeroed on invalid lanes).
+    # QUAD-PACKED reductions: counts <= 128 < 2^8, so four b's share one
+    # i32 lane sum in 8-bit fields (no cross-field carry; exact). 33 -> 9.
+    E_packed = []
+    for b0 in range(9):
+        acc = None
+        for j in range(4):
+            b = b0 + 9 * j
+            if b > 32:
+                break
+            t = ((zv >> jnp.uint32(b)) != jnp.uint32(0)).astype(jnp.int32)
+            t = t << jnp.int32(8 * j)
+            acc = t if acc is None else acc + t
+        E_packed.append(
+            jnp.sum(acc, axis=1, keepdims=True, dtype=jnp.int32)
         )
-        for b in range(33)
-    ]
+    E = []
+    for b in range(33):
+        E.append((E_packed[b % 9] >> jnp.int32(8 * (b // 9)))
+                 & jnp.int32(0xFF))
     blmax = jnp.zeros((TR, 1), jnp.int32)
     for b in range(33):
         blmax = blmax + (E[b] > jnp.int32(0)).astype(jnp.int32)

@@ -436,19 +436,28 @@ def encode_vertical(
         REGION_WORDS - PLANE_REGION, dtype=jnp.int32
     )[None, None, :]
     vals_dn = _roll_down_by(tail20, POS_REGION - posw, 1)
-    tail = jnp.where(tslot < posw, tail20, vals_dn)
-    tail = jnp.pad(
-        tail, ((0, 0), (0, 0), (0, REGION_PAD - (REGION_WORDS - PLANE_REGION)))
-    )
+    tail20p = jnp.where(tslot < posw, tail20, vals_dn)
     packed = jnp.pad(
         packed_planes, ((0, 0), (0, 0), (0, REGION_PAD - PLANE_REGION))
     )
+    # place the 20-word tail at word pw*b: a 33-way chain of static pads
+    # selected by b — XLA fuses it into ONE output pass, vs the 6
+    # masked-shift barrel passes over the full [B, S, REGION_PAD] row
+    # (measured ~12 ms at 128 MiB)
     rolled = jnp.zeros_like(packed)
+    TW = REGION_WORDS - PLANE_REGION
     for pwv, subs_list in groups.items():
         mask = np.zeros(subs, bool)
         mask[subs_list] = True
         m = jnp.asarray(mask)[None, :, None]
-        rolled = jnp.where(m, _roll_up_by(tail, b3, pwv), rolled)
+        placed = jnp.zeros_like(packed)
+        for b in range(33):
+            off = pwv * b
+            seg = jnp.pad(
+                tail20p, ((0, 0), (0, 0), (off, REGION_PAD - TW - off))
+            )
+            placed = jnp.where(b3 == b, seg, placed)
+        rolled = jnp.where(m, placed, rolled)
     packed = packed | rolled  # [B, S, REGION_PAD] live prefix per sub
 
     payload = jnp.concatenate(
@@ -502,12 +511,20 @@ def decode_vertical(
     span = payload[:, SW:].reshape(B, subs, REGION_PAD)
     groups, pws = _pw_groups(block_len)
     b_i = b.astype(jnp.int32)[:, :, None]
+    TW = REGION_WORDS - PLANE_REGION
+    # tail extraction: 20 words starting at pw*b — a 33-way chain of
+    # static slices selected by b (one fused output pass; the masked-shift
+    # barrel cost 6 passes over the whole row, ~12 ms at 128 MiB)
     if set(groups) == {4}:
         planes = span[:, :, :PLANE_REGION]
-        tails = _roll_down_by(span, b_i, 4)
+        tail20 = jnp.zeros((B, subs, TW), jnp.uint32)
+        for bv in range(33):
+            tail20 = jnp.where(
+                b_i == bv, span[:, :, 4 * bv : 4 * bv + TW], tail20
+            )
     else:
         planes = jnp.zeros((B, subs, PLANE_REGION), jnp.uint32)
-        tails = jnp.zeros_like(span)
+        tail20 = jnp.zeros((B, subs, TW), jnp.uint32)
         for pwv, subs_list in groups.items():
             mask = np.zeros(subs, bool)
             mask[subs_list] = True
@@ -515,7 +532,13 @@ def decode_vertical(
             planes = jnp.where(
                 m, _plane_unpack(span[:, :, :PLANE_REGION], pwv), planes
             )
-            tails = jnp.where(m, _roll_down_by(span, b_i, pwv), tails)
+            t_g = jnp.zeros((B, subs, TW), jnp.uint32)
+            for bv in range(33):
+                off = pwv * bv
+                t_g = jnp.where(
+                    b_i == bv, span[:, :, off : off + TW], t_g
+                )
+            tail20 = jnp.where(m, t_g, tail20)
     # zero plane slots of planes >= b (those words belong to the tail)
     slotp = jnp.arange(PLANE_REGION, dtype=jnp.int32)[None, None, :]
     planes = jnp.where(
@@ -525,7 +548,6 @@ def decode_vertical(
 
     # tail: [posw pos | vw vals] -> fixed pos/val slots
     posw = ((n_exc + 3) // 4).astype(jnp.int32)[:, :, None]
-    tail20 = tails[:, :, : REGION_WORDS - PLANE_REGION]
     tslot = jnp.arange(
         REGION_WORDS - PLANE_REGION, dtype=jnp.int32
     )[None, None, :]

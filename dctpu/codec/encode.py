@@ -184,21 +184,23 @@ def adaptive_select_body(
     cand_z = _cand_z_fn(x, history, cands, cfg)
 
     # per-candidate fused passes — no [C, B, L] stack (see _cand_z_fn).
-    # On TPU each candidate costs ONE HBM read: adaptive_totals_pallas
-    # computes the exact rice per-k totals AND the exact vertical word
-    # count in a single VMEM pass (r4; the r3 formulation paid an extra
-    # smear + 32x32-transpose + popcount ~3 passes per candidate for
-    # vertical_total_words). The XLA path remains for other backends and
-    # is bit-identical (tests/test_adaptive.py).
+    # On TPU each candidate costs ONE HBM read: the bit-plane kernel
+    # (select_bp.adaptive_totals_bp) computes the exact rice per-k totals
+    # AND the exact vertical word count in a single VMEM pass — in-kernel
+    # grouped transposes + popcount tables, won the on-chip head-to-head
+    # vs the packed-reduction kernel 12.3 vs 15.5 ms/candidate at bench
+    # geometry (both r4; the r3 formulation paid ~4 HBM passes per
+    # candidate). The XLA path remains for other backends and is
+    # bit-identical (tests/test_adaptive.py, tests/test_select_bp.py).
     use_fused = jax.default_backend() == "tpu"
     ks, rws, vws = [], [], []
     k_axis = jnp.arange(cfg.k_max + 1, dtype=jnp.int32)
     for ci in range(C):
         z_c = cand_z(ci)
         if use_fused:
-            from dctpu.kernels.select_pallas import adaptive_totals_pallas
+            from dctpu.kernels.select_bp import adaptive_totals_bp
 
-            totals, vword = adaptive_totals_pallas(z_c, n, L, cfg.k_max)
+            totals, vword = adaptive_totals_bp(z_c, n, L, cfg.k_max)
             key = jnp.min(totals * 32 + k_axis, axis=-1)
             k_i = (key & 31).astype(jnp.int32)
             bits_i = key >> 5

@@ -18,14 +18,12 @@ column slice of the [TR, 32] popcount tables. The vertical exact word
 count reuses E, as in select_pallas._adaptive_kernel.
 
 Status: bit-identical to adaptive_totals_pallas (interpret + chip,
-tests/test_select_bp.py) but v1 LOSES the on-chip head-to-head at bench
-geometry: 27.2 ms vs 14.9 ms per candidate (B=8192, L=4096). The
-transposes are cheap; the per-(k, j) R_k column math runs ~500
-instructions on [TR, 1] vectors at 1/128 lane utilization. The v2 path
-(if pursued): compute EVERY per-k quantity as [TR, 32]-wide table ops —
-D and R for all k at once from lane-rolls of the popcount tables, the
-joint masks via constant-plane-offset grouped rolls of st against pt
-(offset 4-j is k-independent). NOT the production path.
+tests/test_select_bp.py). v1 (git history) indexed the tables per (k, j)
+on [TR, 1] columns and LOST the head-to-head (27.2 vs 14.9 ms/candidate
+at B=8192, L=4096 — 1/128 lane utilization); v2 computes every per-k
+quantity as [TR, 32]-wide table ops (see _bp_kernel) and WINS: 12.3 vs
+15.5 ms/candidate on chip. Production: adaptive_select_body uses this on
+TPU since r4.
 """
 
 from __future__ import annotations
@@ -46,12 +44,31 @@ TR = 256
 _I0 = np.int32(0)
 
 
-def _cols4(t, p):
-    """The four group-words of plane p: static lane slices [TR, 4-ish]."""
-    return [t[:, 32 * w + 31 - p : 32 * w + 32 - p] for w in range(4)]
+def _shift_hi(t, j):
+    """[TR, 32] table shifted toward HIGHER columns by j, zero fill.
+
+    With the reversed column convention (column c holds plane p = 31-c),
+    this maps column 31-k to the value previously at 31-(k+j): the
+    whole-table form of 'index plane k+j for every k at once'."""
+    if j == 0:
+        return t
+    # explicit typed zeros: jnp.pad's weak-0 constant sends this Mosaic's
+    # convert lowering into recursion (cf. the pitfalls list)
+    z = jnp.zeros((t.shape[0], j), t.dtype)
+    return jnp.concatenate([z, t[:, :-j]], axis=1)
 
 
 def _bp_kernel(zr_ref, sr_ref, cnt_ref, pw_ref, out_ref, *, k_max):
+    """v2: every per-k/per-b quantity is a [TR, 32]-wide table op.
+
+    v1 (git history) indexed the popcount tables per (k, j) on [TR, 1]
+    columns — ~2000 instructions at 1/128 lane utilization, losing the
+    head-to-head. Here the joint counts use the k-INDEPENDENT plane
+    offset 4-j (st plane k+4 vs pt plane k+j): four grouped-roll + AND +
+    popcount passes give R for every k at once, and D/E/words/key math
+    happens on 32-wide tables; the only reductions are two width-32 ones
+    (blmax, key min).
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (TR, SUB_BLOCK), 1)
     pt = bit_transpose32_rows(zr_ref[:, :], lane)
     st = bit_transpose32_rows(sr_ref[:, :], lane)
@@ -61,60 +78,62 @@ def _bp_kernel(zr_ref, sr_ref, cnt_ref, pw_ref, out_ref, *, k_max):
     q = pc[:, 0:32] + pc[:, 32:64] + pc[:, 64:96] + pc[:, 96:128]
     e = sc[:, 0:32] + sc[:, 32:64] + sc[:, 64:96] + sc[:, 96:128]
 
-    def P(p):  # [TR, 1]
-        return q[:, 31 - p : 32 - p]
+    # joint counts: rcw_j[c] = #{bit p set AND bitlen > p+(4-j)} at plane
+    # p = 31-c. st plane p+D sits D lanes BELOW plane p (reversed order),
+    # so align with a grouped roll toward higher lanes by D; wrapped lanes
+    # are planes >= 32 (no such bits) -> zero-masked.
+    from dctpu.kernels.transpose_pallas import grouped_roll
 
-    def E(b):  # [TR, 1]; E[32] == 0 (no bits >= 32)
-        if b >= 32:
-            return jnp.zeros_like(cnt_ref[:, :])
-        return e[:, 31 - b : 32 - b]
+    rcw = []
+    for j in range(4):
+        D = 4 - j
+        st_sh = jnp.where(
+            (lane & jnp.int32(31)) >= jnp.int32(D),
+            grouped_roll(st, D, lane),
+            jnp.uint32(0),
+        )
+        rc = jax.lax.population_count(pt & st_sh).astype(jnp.int32)
+        rcw.append(
+            rc[:, 0:32] + rc[:, 32:64] + rc[:, 64:96] + rc[:, 96:128]
+        )
 
+    # tables over all k at columns 31-k
+    D_t = None
+    R_t = None
+    for j in range(4):
+        d = _shift_hi(q, j) << jnp.int32(j)
+        D_t = d if D_t is None else D_t + d
+        r = _shift_hi(rcw[j], j) << jnp.int32(j)
+        R_t = r if R_t is None else R_t + r
+    E4_t = _shift_hi(e, 4)
     n = cnt_ref[:, :]
-    cols = []
-    for k in range(k_max + 1):
-        Ek4 = E(k + 4)
-        D = None
-        for j in range(4):
-            t = P(k + j) << jnp.int32(j)
-            D = t if D is None else D + t
-        R = None
-        st4 = _cols4(st, k + 4)
-        for j in range(4):
-            ptj = _cols4(pt, k + j)
-            rj = None
-            for w in range(4):
-                c = jax.lax.population_count(
-                    ptj[w] & st4[w]
-                ).astype(jnp.int32)
-                rj = c if rj is None else rj + c
-            rj = rj << jnp.int32(j)
-            R = rj if R is None else R + rj
-        t_k = (
-            jnp.int32(MAX_CODE_BITS) * Ek4
-            + jnp.int32(k + 1) * (n - Ek4)
-            + D
-            - R
-        )
-        cols.append(t_k)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TR, 32), 1)
+    kp1 = jnp.int32(32) - col  # k+1 at column 31-k
+    t_t = (
+        jnp.int32(MAX_CODE_BITS) * E4_t + kp1 * (n - E4_t) + D_t - R_t
+    )
+    cols = [t_t[:, 31 - k : 32 - k] for k in range(k_max + 1)]
 
-    # exact vertical word count (mirrors select_pallas._adaptive_kernel)
-    blmax = jnp.zeros_like(n)
-    for b in range(32):
-        blmax = blmax + (E(b) > jnp.int32(0)).astype(jnp.int32)
+    # exact vertical word count, table-wide over b = 31-col (b=32 sep.)
+    blmax = jnp.sum(
+        (e > jnp.int32(0)).astype(jnp.int32), axis=1, keepdims=True,
+        dtype=jnp.int32,
+    )
     pw = pw_ref[:, :]
-    best_key = None
-    for b in range(33):
-        Eb = E(b)
-        e_b = jnp.maximum(blmax - jnp.int32(b), jnp.int32(0))
-        vw = jnp.where(
-            Eb > jnp.int32(0),
-            jnp.minimum(Eb, (e_b + jnp.int32(1)) // jnp.int32(2)),
-            jnp.int32(0),
-        )
-        words = pw * jnp.int32(b) + (Eb + jnp.int32(3)) // jnp.int32(4) + vw
-        words = jnp.where(Eb <= jnp.int32(EXC_CAP), words, jnp.int32(1 << 24))
-        key = words * jnp.int32(64) + jnp.int32(b)
-        best_key = key if best_key is None else jnp.minimum(best_key, key)
+    b_t = jnp.int32(31) - col
+    e_b = jnp.maximum(blmax - b_t, jnp.int32(0))
+    vw = jnp.where(
+        e > jnp.int32(0),
+        jnp.minimum(e, (e_b + jnp.int32(1)) // jnp.int32(2)),
+        jnp.int32(0),
+    )
+    words = pw * b_t + (e + jnp.int32(3)) // jnp.int32(4) + vw
+    words = jnp.where(e <= jnp.int32(EXC_CAP), words, jnp.int32(1 << 24))
+    key_t = words * jnp.int32(64) + b_t
+    key32 = pw * jnp.int32(32) * jnp.int32(64) + jnp.int32(32)  # E[32]=0
+    best_key = jnp.minimum(
+        jnp.min(key_t, axis=1, keepdims=True), key32
+    )
     cols.append(best_key >> jnp.int32(6))
     out_ref[:, :] = jnp.concatenate(cols, axis=1)
 

@@ -152,6 +152,34 @@ def main() -> int:
     ).lower(jnp.zeros((B, L), jnp.uint32), nj).compile()
     _status("compile rice_totals_pallas", t0)
 
+    # ---- 1b. kernel-vs-XLA selection agreement at non-trivial geometry --
+    # r4 incident: a selection kernel that was bit-exact standalone AND
+    # passed the tiny byte-eq round trips below MISCOMPILED inside the
+    # multi-kernel adaptive-select jit at larger geometry (silently wrong
+    # totals -> a different coder split). Only a production-shaped
+    # divergence check catches that class: run the full adaptive selection
+    # with the Pallas totals kernel AND with the portable XLA formulation
+    # on the same chip and require identical choices.
+    from dctpu.codec.encode import adaptive_select_body as _asel
+    from dctpu.corpus import synth_corpus
+
+    t0 = time.time()
+    Lsel = 4096
+    ssel, _, _ = synth_corpus(8, 256 * Lsel // 8, seed=123,
+                              mixed_cadence=True, cumulative_frac=0.25)
+    xs_, ns_, hs_, _, _ = capi.build_blocks(ssel, Lsel)
+    cfg_sel = CodecConfig(block_len=Lsel, coder="adaptive")
+    args_sel = (jnp.asarray(xs_), jnp.asarray(ns_), jnp.asarray(hs_))
+    sel_jit = jax.jit(_asel, static_argnames=("cfg", "backend"))
+    got = sel_jit(*args_sel, cfg_sel, "auto")
+    ref = sel_jit(*args_sel, cfg_sel, "xla")
+    for name, a, b in zip(("choice", "coder", "k"), got, ref):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            f"adaptive_select kernel != XLA on {name} "
+            f"(selection-kernel miscompile — see select_bp.py r4 incident)"
+        )
+    _status("adaptive_select kernel==XLA @ B=256 L=4096", t0)
+
     # ---- 2. byte-exactness: device frames == scalar reference frames ----
     streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]
     for coder in ("rice", "vertical", "adaptive"):

@@ -168,12 +168,17 @@ def adaptive_select_body(
     n: jnp.ndarray,        # [B] int32
     history: jnp.ndarray,  # [B, 4] int32
     cfg: CodecConfig,
+    backend: str = "auto",
 ):
     """FORMAT §4.1 joint (candidate, coder) selection by exact word count.
 
     Returns (choice [B] i32 candidate index, coder [B] i32 0=RICE/1=VERTICAL,
     k [B] i32). Option order c0-RICE, c0-VERT, c1-RICE, ... with first-wins
     argmin implements the normative tie-break.
+
+    backend: "auto" uses the fused Pallas totals kernel on TPU; "xla"
+    forces the portable formulation — the smoke gate diffs the two on
+    chip at production-shaped geometry (r4 selection-miscompile incident).
     """
     from dctpu.kernels.vertical_xla import vertical_total_words
 
@@ -184,29 +189,32 @@ def adaptive_select_body(
     cand_z = _cand_z_fn(x, history, cands, cfg)
 
     # per-candidate fused passes — no [C, B, L] stack (see _cand_z_fn).
-    # On TPU each candidate costs ONE HBM read: the bit-plane kernel
-    # (select_bp.adaptive_totals_bp) computes the exact rice per-k totals
-    # AND the exact vertical word count in a single VMEM pass — in-kernel
-    # grouped transposes + popcount tables, won the on-chip head-to-head
-    # vs the packed-reduction kernel 12.3 vs 15.5 ms/candidate at bench
-    # geometry (both r4; the r3 formulation paid ~4 HBM passes per
-    # candidate). The XLA path remains for other backends and is
-    # bit-identical (tests/test_adaptive.py, tests/test_select_bp.py).
-    use_fused = jax.default_backend() == "tpu"
+    # On TPU each candidate costs ONE HBM read: adaptive_totals_pallas
+    # computes the exact rice per-k totals AND the exact vertical word
+    # count in a single VMEM pass (r4; the r3 formulation paid ~4 HBM
+    # passes per candidate). The faster bit-plane kernel (select_bp, 12.3
+    # vs 15.5 ms/candidate standalone) is NOT used here: inside this
+    # multi-kernel jit it MISCOMPILES on the axon backend — silently
+    # wrong totals on 3 of 6 candidates at bench geometry, barrier-
+    # resistant (see select_bp.py docstring; caught because the adaptive
+    # group split diverged from the CPU-normative 1351/6841). The XLA
+    # path remains for other backends and is bit-identical
+    # (tests/test_adaptive.py).
+    use_fused = backend != "xla" and jax.default_backend() == "tpu"
     ks, rws, vws = [], [], []
     k_axis = jnp.arange(cfg.k_max + 1, dtype=jnp.int32)
     for ci in range(C):
         z_c = cand_z(ci)
         if use_fused:
-            from dctpu.kernels.select_bp import adaptive_totals_bp
+            from dctpu.kernels.select_pallas import adaptive_totals_pallas
 
-            totals, vword = adaptive_totals_bp(z_c, n, L, cfg.k_max)
+            totals, vword = adaptive_totals_pallas(z_c, n, L, cfg.k_max)
             key = jnp.min(totals * 32 + k_axis, axis=-1)
             k_i = (key & 31).astype(jnp.int32)
             bits_i = key >> 5
             vws.append(vword)
         else:
-            k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max)
+            k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max, backend)
             vws.append(vertical_total_words(z_c, valid, L))
         ks.append(k_i)
         rws.append((bits_i + 31) // 32)
@@ -224,7 +232,9 @@ def adaptive_select_body(
     return choice, coder, k
 
 
-adaptive_select = jax.jit(adaptive_select_body, static_argnames=("cfg",))
+adaptive_select = jax.jit(
+    adaptive_select_body, static_argnames=("cfg", "backend")
+)
 
 
 def emit_blocks_body(

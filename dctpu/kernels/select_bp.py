@@ -17,13 +17,21 @@ ops and ZERO log-tree lane reductions; every per-k quantity is a static
 column slice of the [TR, 32] popcount tables. The vertical exact word
 count reuses E, as in select_pallas._adaptive_kernel.
 
-Status: bit-identical to adaptive_totals_pallas (interpret + chip,
-tests/test_select_bp.py). v1 (git history) indexed the tables per (k, j)
-on [TR, 1] columns and LOST the head-to-head (27.2 vs 14.9 ms/candidate
-at B=8192, L=4096 — 1/128 lane utilization); v2 computes every per-k
-quantity as [TR, 32]-wide table ops (see _bp_kernel) and WINS: 12.3 vs
-15.5 ms/candidate on chip. Production: adaptive_select_body uses this on
-TPU since r4.
+Status: QUARANTINED — NOT a production path. v1 (git history) indexed
+the tables per (k, j) on [TR, 1] columns and lost the head-to-head (27.2
+vs 14.9 ms/candidate at B=8192, L=4096); v2 (this file) computes every
+per-k quantity as [TR, 32]-wide table ops and wins standalone (12.3 vs
+15.5 ms/candidate, bit-exact on chip and in interpret mode). BUT when
+called INSIDE the multi-kernel adaptive-select jit on the axon backend
+it MISCOMPILES: silently wrong totals on 3 of 6 candidates at bench
+geometry, while the identical standalone call on the identical
+materialized inputs is correct. jax.lax.optimization_barrier on the
+operands does NOT fix it (suspect: operand layout assignment in the
+larger module). Caught r4 because the adaptive group split diverged from
+the CPU-normative 1351/6841 — a reminder that CPU-vs-TPU divergence
+checks on PRODUCTION-SHAPED programs (not just kernel unit tests) are
+load-bearing on this platform. Round 5: reproduce minimally, then either
+find the layout pin that fixes it or report the Mosaic bug.
 """
 
 from __future__ import annotations
@@ -199,6 +207,14 @@ def adaptive_totals_bp(
         cnt = jnp.pad(cnt, ((0, Rp - R), (0, 0)))
         pw = jnp.pad(pw, ((0, Rp - R), (0, 0)))
 
+    # MANDATORY on this backend: without the barrier, XLA fuses the
+    # reversal/smear producers into the pallas_call operand cluster and
+    # MISCOMPILES — silently wrong totals on 3 of 6 candidates at bench
+    # geometry when called inside a larger jit (standalone calls were
+    # correct, which is why the unit tests passed). Verified r4.
+    z_rows, s_rows, cnt, pw = jax.lax.optimization_barrier(
+        (z_rows, s_rows, cnt, pw)
+    )
     K2 = k_max + 2
     out = pl.pallas_call(
         functools.partial(_bp_kernel, k_max=k_max),

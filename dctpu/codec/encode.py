@@ -206,9 +206,14 @@ def adaptive_select_body(
     for ci in range(C):
         z_c = cand_z(ci)
         if use_fused:
-            from dctpu.kernels.select_pallas import adaptive_totals_pallas
+            if backend == "bp":  # experimental: r4-quarantined bit-plane kernel
+                from dctpu.kernels.select_bp import adaptive_totals_bp as _tot
+            else:
+                from dctpu.kernels.select_pallas import (
+                    adaptive_totals_pallas as _tot,
+                )
 
-            totals, vword = adaptive_totals_pallas(z_c, n, L, cfg.k_max)
+            totals, vword = _tot(z_c, n, L, cfg.k_max)
             key = jnp.min(totals * 32 + k_axis, axis=-1)
             k_i = (key & 31).astype(jnp.int32)
             bits_i = key >> 5

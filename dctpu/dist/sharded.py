@@ -101,15 +101,21 @@ def decode_blocks_sharded(
     return sharded(payload, k, n, predictor, table_idx, history, table_coeffs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "backend"))
 def adaptive_select_sharded(
     x: jnp.ndarray, n: jnp.ndarray, history: jnp.ndarray,
-    cfg: CodecConfig, mesh: Mesh,
+    cfg: CodecConfig, mesh: Mesh, backend: str = "auto",
 ):
-    """shard_map wrapper of the FORMAT §4.1 (candidate, coder) selection."""
+    """shard_map wrapper of the FORMAT §4.1 (candidate, coder) selection.
+
+    backend plumbs through to adaptive_select_body ("xla" forces the
+    portable selection formulation — the public opt-out from the fused
+    Pallas totals kernel, ADVICE r4 medium). The smoke gate diffs the
+    sharded auto-vs-xla selections on chip (tpu_smoke section 1c).
+    """
     from dctpu.codec.encode import adaptive_select_body
 
-    body = functools.partial(adaptive_select_body, cfg=cfg)
+    body = functools.partial(adaptive_select_body, cfg=cfg, backend=backend)
     sharded = shard_map(
         body,
         mesh=mesh,
@@ -178,7 +184,8 @@ def compress_sharded(
         return capi._compress_adaptive(
             streams, cfg, stream_ids, cadences, chunk_blocks, backend,
             select_fn=lambda x, n, h: adaptive_select_sharded(
-                jnp.asarray(x), jnp.asarray(n), jnp.asarray(h), cfg, mesh
+                jnp.asarray(x), jnp.asarray(n), jnp.asarray(h), cfg, mesh,
+                backend or "auto",
             ),
             emit_fn=lambda x, n, h, ch, k, coder: emit_blocks_sharded(
                 jnp.asarray(x), jnp.asarray(n), jnp.asarray(h),

@@ -390,8 +390,10 @@ def _compress_adaptive(
     from dctpu.codec.encode import adaptive_select, emit_blocks
     from dctpu.constants import CODER_VERTICAL, LPC as _LPC
 
+    # backend plumbs into selection too: "xla" is the public opt-out from
+    # the fused Pallas totals kernels (ADVICE r4 low #1)
     select_fn = select_fn or (
-        lambda x, n, h: adaptive_select(x, n, h, cfg)
+        lambda x, n, h: adaptive_select(x, n, h, cfg, backend or "auto")
     )
     emit_fn = emit_fn or (
         lambda x, n, h, ch, k, coder: emit_blocks(

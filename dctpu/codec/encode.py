@@ -201,24 +201,43 @@ def adaptive_select_body(
     # path remains for other backends and is bit-identical
     # (tests/test_adaptive.py).
     use_fused = backend != "xla" and jax.default_backend() == "tpu"
+    use_bp = use_fused and backend == "bp"
+    xbp_res = None
     ks, rws, vws = [], [], []
     k_axis = jnp.arange(cfg.k_max + 1, dtype=jnp.int32)
     for ci in range(C):
-        z_c = cand_z(ci)
         if use_fused:
-            if backend == "bp":  # experimental: r4-quarantined bit-plane kernel
-                from dctpu.kernels.select_bp import adaptive_totals_bp as _tot
-            else:
-                from dctpu.kernels.select_pallas import (
-                    adaptive_totals_pallas as _tot,
-                )
+            from dctpu.constants import DELTA, DOUBLE_DELTA
 
-            totals, vword = _tot(z_c, n, L, cfg.k_max)
+            pred = cands[ci][0]
+            if use_bp and pred in (DELTA, DOUBLE_DELTA):
+                # v3 in-register candidate derivation: one x read covers
+                # both shift predictors (select_bp.adaptive_totals_xbp)
+                from dctpu.kernels.select_bp import adaptive_totals_xbp
+
+                if xbp_res is None:
+                    xbp_res = adaptive_totals_xbp(
+                        x, history, n, L, cfg.k_max
+                    )
+                gi = 0 if pred == DELTA else 1
+                totals, vword = xbp_res[0][gi], xbp_res[1][gi]
+            else:
+                if use_bp:
+                    from dctpu.kernels.select_bp import (
+                        adaptive_totals_bp as _tot,
+                    )
+                else:
+                    from dctpu.kernels.select_pallas import (
+                        adaptive_totals_pallas as _tot,
+                    )
+
+                totals, vword = _tot(cand_z(ci), n, L, cfg.k_max)
             key = jnp.min(totals * 32 + k_axis, axis=-1)
             k_i = (key & 31).astype(jnp.int32)
             bits_i = key >> 5
             vws.append(vword)
         else:
+            z_c = cand_z(ci)
             k_i, bits_i = rice.choose_k_auto(z_c, n, L, cfg.k_max, backend)
             vws.append(vertical_total_words(z_c, valid, L))
         ks.append(k_i)

@@ -62,6 +62,34 @@ def main():
 
     pw = _plane_word_counts(L)[None, :]
 
+    if "--full" in sys.argv:  # r5: just the full-encoder head-to-head
+        enc = jax.jit(encode_vertical, static_argnames=(
+            "block_len", "exc_backend"))
+        # portable reference on the host CPU: the big-geometry "xla"
+        # compile OOMs/stalls the axon compile helper (see tpu_smoke 1b)
+        cpu = jax.devices("cpu")[0]
+        zc = jax.device_put(np.asarray(zd), cpu)
+        nc = jax.device_put(np.asarray(nd), cpu)
+        with jax.default_device(cpu):
+            p_ref, bl_ref = jax.tree.map(np.asarray, enc(zc, nc, L, "xla"))
+        print("cpu reference done", flush=True)
+        p, bl = jax.tree.map(np.asarray, enc(zd, nd, L, "mega"))
+        assert np.array_equal(bl, bl_ref), "mega bit_len != portable"
+        assert np.array_equal(p, p_ref), "mega payload != portable"
+        print("mega payload bit-identical to portable reference ✓",
+              flush=True)
+
+        def full_mega(z, n, salt):
+            return encode_vertical(z ^ salt, n, L, exc_backend="mega")
+
+        report("FULL encode_vertical (mega)", full_mega, (zd, nd), chain=3)
+
+        def full_x(z, n, salt):
+            return encode_vertical(z ^ salt, n, L, exc_backend="xla")
+
+        report("FULL encode_vertical (xla)", full_x, (zd, nd), chain=3)
+        return
+
     def subshape(z, n, salt):
         zs, valid = _sub_shape(z ^ salt, n, L)
         return zs

@@ -56,16 +56,36 @@ def _status(name, t0):
     print(f"  ok  {name}  ({dt:.1f}s)", flush=True)
 
 
-def _write_ledger():
-    """Commit-addressed artifact backing every 'verified on chip' claim
-    (round-2 VERDICT: on-chip status must cite a committed artifact)."""
+def _tree_state():
+    """(short-HEAD, dirty?) — dirty counts tracked modifications only."""
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return commit, bool(porcelain)
     except Exception:
-        commit = "unknown"
+        return "unknown", True
+
+
+def _write_ledger():
+    """Commit-addressed artifact backing every 'verified on chip' claim
+    (round-2 VERDICT: on-chip status must cite a committed artifact).
+
+    REFUSES to write for a dirty tree: the r4 incident shipped a ledger
+    whose address didn't match the tree the gate actually ran on
+    (VERDICT r5 #7). Iterating on uncommitted changes still prints the
+    green status — it just doesn't mint a citable artifact."""
+    commit, dirty = _tree_state()
+    if dirty:
+        print("ledger: REFUSED (dirty tree — commit first, then rerun "
+              "the gate so the artifact addresses the tree it ran on)",
+              flush=True)
+        return
     os.makedirs("bench/logs", exist_ok=True)
     path = f"bench/logs/tpu_smoke_{commit}.json"
     with open(path, "w") as f:
@@ -152,14 +172,17 @@ def main() -> int:
     ).lower(jnp.zeros((B, L), jnp.uint32), nj).compile()
     _status("compile rice_totals_pallas", t0)
 
-    # ---- 1b. kernel-vs-XLA selection agreement at non-trivial geometry --
+    # ---- 1b. kernel-vs-portable agreement at non-trivial geometry -------
     # r4 incident: a selection kernel that was bit-exact standalone AND
     # passed the tiny byte-eq round trips below MISCOMPILED inside the
     # multi-kernel adaptive-select jit at larger geometry (silently wrong
     # totals -> a different coder split). Only a production-shaped
     # divergence check catches that class: run the full adaptive selection
-    # with the Pallas totals kernel AND with the portable XLA formulation
-    # on the same chip and require identical choices.
+    # with the Pallas kernels on chip and the portable XLA formulation
+    # and require identical choices. The portable reference runs on the
+    # HOST CPU in-process: its big HLO OOM-SIGKILLs the axon remote
+    # compile helper (measured this round), and a CPU-normative reference
+    # is exactly the cross-backend diff that caught the r4 incident.
     from dctpu.codec.encode import adaptive_select_body as _asel
     from dctpu.corpus import synth_corpus
 
@@ -170,15 +193,68 @@ def main() -> int:
     xs_, ns_, hs_, _, _ = capi.build_blocks(ssel, Lsel)
     cfg_sel = CodecConfig(block_len=Lsel, coder="adaptive")
     args_sel = (jnp.asarray(xs_), jnp.asarray(ns_), jnp.asarray(hs_))
+    cpu = jax.devices("cpu")[0]
+    args_cpu = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
+                            args_sel)
     sel_jit = jax.jit(_asel, static_argnames=("cfg", "backend"))
-    got = sel_jit(*args_sel, cfg_sel, "auto")
-    ref = sel_jit(*args_sel, cfg_sel, "xla")
-    for name, a, b in zip(("choice", "coder", "k"), got, ref):
-        assert np.array_equal(np.asarray(a), np.asarray(b)), (
-            f"adaptive_select kernel != XLA on {name} "
-            f"(selection-kernel miscompile — see select_bp.py r4 incident)"
+    with jax.default_device(cpu):
+        ref = jax.tree.map(np.asarray, sel_jit(*args_cpu, cfg_sel, "xla"))
+    for be in ("auto", "reduce"):
+        got = sel_jit(*args_sel, cfg_sel, be)
+        for name, a, b in zip(("choice", "coder", "k"), got, ref):
+            assert np.array_equal(np.asarray(a), b), (
+                f"adaptive_select[{be}] != portable on {name} "
+                f"(selection-kernel miscompile — see select_bp.py incident)"
+            )
+    _status("adaptive_select auto/reduce==portable @ B=256 L=4096", t0)
+
+    # ---- 1c. same class of check for every OTHER Pallas kernel that runs
+    # inside a larger production jit (VERDICT r5 #8): rice totals inside
+    # the full rice encode, the vertical emit mega-kernel and
+    # exc_extract_pallas inside the full vertical encode, and the SHARDED
+    # adaptive selection module (ADVICE r4 medium: shard_map wraps the
+    # kernels in a different compiled module than the one 1b checks).
+    t0 = time.time()
+    enc_jit = jax.jit(
+        encode_blocks_body, static_argnames=("cfg", "backend")
+    )
+
+    def _enc_diff(cfg, be, ref_e, tag):
+        got = enc_jit(*args_sel, cfg, be)
+        for f in got._fields:
+            assert np.array_equal(
+                np.asarray(getattr(got, f)), getattr(ref_e, f)
+            ), f"encode_blocks[{tag}] != portable on {f}"
+
+    cfg_rsel = CodecConfig(block_len=Lsel, coder="rice")
+    with jax.default_device(cpu):
+        ref_r = jax.tree.map(
+            np.asarray, enc_jit(*args_cpu, cfg_rsel, "xla")
         )
-    _status("adaptive_select kernel==XLA @ B=256 L=4096", t0)
+    _enc_diff(cfg_rsel, "auto", ref_r, "rice,auto")
+    cfg_vsel = CodecConfig(block_len=Lsel, coder="vertical")
+    with jax.default_device(cpu):
+        ref_v = jax.tree.map(
+            np.asarray, enc_jit(*args_cpu, cfg_vsel, "xla")
+        )
+    _enc_diff(cfg_vsel, "auto", ref_v, "vertical,auto")
+    _enc_diff(cfg_vsel, "mega", ref_v, "vertical,mega")
+    _enc_diff(cfg_vsel, "pallas", ref_v, "vertical,pallas-exc")
+    _status("encode_blocks rice/vertical kernels==portable @ B=256 L=4096",
+            t0)
+
+    t0 = time.time()
+    from jax.sharding import Mesh
+
+    from dctpu.dist.sharded import adaptive_select_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    got = adaptive_select_sharded(*args_sel, cfg_sel, mesh, "auto")
+    for name, a, b in zip(("choice", "coder", "k"), got, ref):
+        assert np.array_equal(np.asarray(a), b), (
+            f"adaptive_select_sharded auto != portable on {name}"
+        )
+    _status("adaptive_select_sharded kernel==portable @ B=256 L=4096", t0)
 
     # ---- 2. byte-exactness: device frames == scalar reference frames ----
     streams = [_corpus(rng), _corpus(rng)[: 3 * L + 11]]

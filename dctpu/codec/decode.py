@@ -39,9 +39,19 @@ def decode_blocks_body(
         # at 64-128 rows) and consumed the pre-r4 fixed region layout; the
         # packed-row layout made it moot (see vertical_xla REGION_PAD
         # note). History: git log dctpu/kernels/vertical_pallas.py.
-        from dctpu.kernels.vertical_xla import decode_vertical
+        if (
+            backend == "mega"
+            and block_len % 128 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            # r5 VMEM-resident decode mega-kernel (kernels/vdec_pallas)
+            from dctpu.kernels.vdec_pallas import decode_vertical_mega
 
-        z = decode_vertical(payload, n, block_len, max_planes)
+            z = decode_vertical_mega(payload, n, block_len)
+        else:
+            from dctpu.kernels.vertical_xla import decode_vertical
+
+            z = decode_vertical(payload, n, block_len, max_planes)
     else:
         z = kernels.unpack(
             payload, k, n, block_len, backend, buf_words

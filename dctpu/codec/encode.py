@@ -104,6 +104,9 @@ def _emit_selected(
         exc = "xla"
         if backend.startswith("pallas"):
             exc = "pallas"
+        elif backend == "mega" and jax.default_backend() == "tpu":
+            # opt-in r5 VMEM-resident emit mega-kernel (vemit_pallas)
+            exc = "mega"
         payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
         k = jnp.zeros(B, jnp.int32)
     else:
@@ -176,9 +179,11 @@ def adaptive_select_body(
     k [B] i32). Option order c0-RICE, c0-VERT, c1-RICE, ... with first-wins
     argmin implements the normative tie-break.
 
-    backend: "auto" uses the fused Pallas totals kernel on TPU; "xla"
-    forces the portable formulation — the smoke gate diffs the two on
-    chip at production-shaped geometry (r4 selection-miscompile incident).
+    backend: "auto" (= "bp") uses the fused select_bp v3 Pallas totals
+    kernels on TPU; "reduce" the r4 select_pallas reduction kernel;
+    "xla" forces the portable formulation — the smoke gate diffs auto
+    against xla on chip at production-shaped geometry (r4
+    selection-miscompile incident).
     """
     from dctpu.kernels.vertical_xla import vertical_total_words
 
@@ -189,19 +194,18 @@ def adaptive_select_body(
     cand_z = _cand_z_fn(x, history, cands, cfg)
 
     # per-candidate fused passes — no [C, B, L] stack (see _cand_z_fn).
-    # On TPU each candidate costs ONE HBM read: adaptive_totals_pallas
-    # computes the exact rice per-k totals AND the exact vertical word
-    # count in a single VMEM pass (r4; the r3 formulation paid ~4 HBM
-    # passes per candidate). The faster bit-plane kernel (select_bp, 12.3
-    # vs 15.5 ms/candidate standalone) is NOT used here: inside this
-    # multi-kernel jit it MISCOMPILES on the axon backend — silently
-    # wrong totals on 3 of 6 candidates at bench geometry, barrier-
-    # resistant (see select_bp.py docstring; caught because the adaptive
-    # group split diverged from the CPU-normative 1351/6841). The XLA
-    # path remains for other backends and is bit-identical
-    # (tests/test_adaptive.py).
+    # On TPU the default ("auto"/"bp") is the select_bp v3 bit-plane
+    # family: DELTA/DOUBLE_DELTA totals derive in-register from ONE read
+    # of x (adaptive_totals_xbp) and each LPC candidate costs one z read
+    # (adaptive_totals_bp) — 47.0 ms vs 94.0 for the r4 reduction kernel
+    # at 128 MiB, bit-identical (bench/profile_select.py). The r4
+    # select_pallas reduction kernel remains as backend="reduce" for
+    # A/B; "xla" is the portable formulation (the public kernel opt-out,
+    # and the reference half of the smoke gate's production-shaped
+    # divergence check — the r4 miscompile incident's lesson, see
+    # select_bp.py docstring).
     use_fused = backend != "xla" and jax.default_backend() == "tpu"
-    use_bp = use_fused and backend == "bp"
+    use_bp = use_fused and backend != "reduce"
     xbp_res = None
     ks, rws, vws = [], [], []
     k_axis = jnp.arange(cfg.k_max + 1, dtype=jnp.int32)

@@ -102,7 +102,9 @@ class StreamDir:
     def __len__(self):
         return int(self.stream_id.size)
 
-    def __getitem__(self, i) -> "StreamMeta":
+    def __getitem__(self, i):
+        if isinstance(i, slice):  # list-compatible (ADVICE r4 low #4)
+            return [self[j] for j in range(*i.indices(len(self)))]
         return StreamMeta(
             stream_id=int(self.stream_id[i]),
             cadence_s=int(self.cadence_s[i]),

@@ -126,6 +126,47 @@ def _fold4(t):
     return t[:, 0:32] + t[:, 32:64] + t[:, 64:96] + t[:, 96:128]
 
 
+def _pt_st_e(zv, lane):
+    """(pt, st, e): plane masks, exceed masks, exceed-count table.
+
+    pt = butterfly planes (lane 32w + 31-p = plane p); st = within-group
+    prefix-OR of pt along lanes == the smear transpose (st lane 31-b =
+    "bitlen > b" bitmask, because planes sit at DESCENDING lanes so OR
+    over p >= b accumulates from LOWER lanes upward); e [TR, 32] i32 =
+    exceed counts in reversed column order (column 31-b = E[b])."""
+    pt = _bt32_rows(zv)
+    st = pt
+    for d in (1, 2, 4, 8, 16):
+        st = st | _shift_up_lanes(st, d, lane)
+    e = _fold4(jax.lax.population_count(st).astype(jnp.int32))
+    return pt, st, e
+
+
+def _vertical_key(e, pw):
+    """Packed (words*64 + b) FORMAT §2.2 width-selection key, [TR, 1] i32.
+
+    Table-wide over b = 31-col, b=32 separately; min-key == argmin words
+    with n_exc <= EXC_CAP, ties -> smallest b (mirrors
+    vertical_xla._select_width bit-exactly)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (TR, 32), 1)
+    blmax = jnp.sum(
+        (e > jnp.int32(0)).astype(jnp.int32), axis=1, keepdims=True,
+        dtype=jnp.int32,
+    )
+    b_t = jnp.int32(31) - col
+    e_b = jnp.maximum(blmax - b_t, jnp.int32(0))
+    vw = jnp.where(
+        e > jnp.int32(0),
+        jnp.minimum(e, (e_b + jnp.int32(1)) // jnp.int32(2)),
+        jnp.int32(0),
+    )
+    words = pw * b_t + (e + jnp.int32(3)) // jnp.int32(4) + vw
+    words = jnp.where(e <= jnp.int32(EXC_CAP), words, jnp.int32(1 << 24))
+    key_t = words * jnp.int32(64) + b_t
+    key32 = pw * jnp.int32(32) * jnp.int32(64) + jnp.int32(32)  # E[32]=0
+    return jnp.minimum(jnp.min(key_t, axis=1, keepdims=True), key32)
+
+
 def _totals_cols(zv, n, pw, lane, k_max):
     """Shared v3 body: masked z tile -> k_max+2 output columns.
 
@@ -134,16 +175,8 @@ def _totals_cols(zv, n, pw, lane, k_max):
     pieces: k_max+1 exact rice totals then the exact vertical word count.
     Tables are [TR, 32] in REVERSED plane order: column 31-p holds plane p
     (where the natural-order butterfly lands it)."""
-    pt = _bt32_rows(zv)
-    # prefix-OR along lanes == smear transpose: st lane 31-b = plane b of
-    # smear(z), i.e. the "bitlen > b" bitmask (planes sit at DESCENDING
-    # lanes, so OR over p >= b accumulates from LOWER lanes upward)
-    st = pt
-    for d in (1, 2, 4, 8, 16):
-        st = st | _shift_up_lanes(st, d, lane)
-
+    pt, st, e = _pt_st_e(zv, lane)
     q = _fold4(jax.lax.population_count(pt).astype(jnp.int32))
-    e = _fold4(jax.lax.population_count(st).astype(jnp.int32))
 
     # joint counts rcw_j[31-p] = #{bit p set AND bitlen > p+(4-j)}:
     # st plane p+D sits D lanes BELOW plane p, so shift st UP by D.
@@ -165,27 +198,8 @@ def _totals_cols(zv, n, pw, lane, k_max):
         jnp.int32(MAX_CODE_BITS) * E4_t + kp1 * (n - E4_t) + D_t - R_t
     )
     cols = [t_t[:, 31 - k : 32 - k] for k in range(k_max + 1)]
-
-    # exact vertical word count, table-wide over b = 31-col (b=32 sep.)
-    blmax = jnp.sum(
-        (e > jnp.int32(0)).astype(jnp.int32), axis=1, keepdims=True,
-        dtype=jnp.int32,
-    )
-    b_t = jnp.int32(31) - col
-    e_b = jnp.maximum(blmax - b_t, jnp.int32(0))
-    vw = jnp.where(
-        e > jnp.int32(0),
-        jnp.minimum(e, (e_b + jnp.int32(1)) // jnp.int32(2)),
-        jnp.int32(0),
-    )
-    words = pw * b_t + (e + jnp.int32(3)) // jnp.int32(4) + vw
-    words = jnp.where(e <= jnp.int32(EXC_CAP), words, jnp.int32(1 << 24))
-    key_t = words * jnp.int32(64) + b_t
-    key32 = pw * jnp.int32(32) * jnp.int32(64) + jnp.int32(32)  # E[32]=0
-    best_key = jnp.minimum(
-        jnp.min(key_t, axis=1, keepdims=True), key32
-    )
-    cols.append(best_key >> jnp.int32(6))
+    # exact vertical word count from the same e table
+    cols.append(_vertical_key(e, pw) >> jnp.int32(6))
     return cols
 
 

@@ -13,8 +13,13 @@ the 16 MB VMEM scope capped tiles at 64-128 rows), and region_pack_pallas
 became moot when the encoder started emitting packed live-prefix rows
 directly (vertical_xla REGION_PAD note). Code: git log on this file.
 
-exc_extract_pallas stays: it is the production exception-extraction path on
-TPU (the XLA formulation re-reads the sub-shaped arrays ~20x from HBM).
+exc_extract_pallas stays as the backend="pallas" OPT-IN path: since the r4
+fused emission, "auto" picks the XLA extraction, which wins the fused
+head-to-head (1.50 vs 3.90 ms isolated, 34.1 vs 36.7 ms full encode at
+128 MiB — bench/profile_vemit.py; the r1 measurement that favored Pallas
+predates the fusion, when XLA re-read the sub-shaped arrays ~20x). The
+smoke gate keeps both its lowering and its full-encode bit-exactness
+covered (sections 1 and 1c).
 """
 
 from __future__ import annotations

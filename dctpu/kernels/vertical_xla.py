@@ -349,37 +349,50 @@ def encode_vertical(
     block_len: int,
     exc_backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (payload [B, W] u32, bit_len [B] i32). Dense ops only."""
+    """Returns (payload [B, W] u32, bit_len [B] i32). Dense ops only.
+
+    exc_backend: "mega" runs the whole per-sub analysis (transpose, width
+    select, exception extraction) as ONE VMEM pass
+    (kernels/vemit_pallas.py); "pallas"/"xla" select only the exception
+    extractor, with the analysis staged in XLA."""
     B, L = z.shape
     subs = subs_per_block(block_len)
     SW = sync_words(block_len)
-    zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
-    pw = _plane_word_counts(block_len)[None, :]  # [1, S]
 
-    # ---- bit planes first: 32x32 bit-matrix transpose per word group ----
-    zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
-    pw_by_group = bit_transpose32(zg)  # [B, S, 4w, 32p]
-    plane_words = jnp.swapaxes(pw_by_group, 2, 3)  # [B, S, 32p, 4w] p-major
-    plane_region = plane_words.reshape(B, subs, PLANE_REGION)
+    if exc_backend == "mega":
+        from dctpu.kernels.vemit_pallas import vertical_emit_mega
 
-    # ---- width selection: argmin words over b with n_exc <= EXC_CAP ----
-    # zs is zeroed outside `valid`, so zero samples never count as exceeding
-    # any plane. The exceed table comes from the plane words above
-    # (suffix-OR + popcount) — the r3 smear+second-transpose formulation
-    # duplicated the 32x32 transpose over the whole input (~10 ms at
-    # 128 MiB, emit micro-profile).
-    best_b, best_words, best_exc, best_e = _select_width(
-        exceed_from_planes(pw_by_group), pw
-    )
-    bit_len = 32 * jnp.sum(best_words, axis=1)
-
-    # ---- exceptions: rank-match extraction ----
-    if exc_backend == "pallas":
-        from dctpu.kernels.vertical_pallas import exc_extract_pallas
-
-        pos_words, vals = exc_extract_pallas(zs, best_b)
+        (plane_region, best_b, best_words, best_exc, best_e, pos_words,
+         vals) = vertical_emit_mega(z, n, block_len)
+        bit_len = 32 * jnp.sum(best_words, axis=1)
     else:
-        pos_words, vals = exc_extract_xla(zs, best_b)
+        zs, valid = _sub_shape(z, n, block_len)  # [B, S, 128]
+        pw = _plane_word_counts(block_len)[None, :]  # [1, S]
+
+        # ---- bit planes first: 32x32 bit-matrix transpose per group ----
+        zg = zs.reshape(B, subs, 4, 32)  # word groups of 32 samples
+        pw_by_group = bit_transpose32(zg)  # [B, S, 4w, 32p]
+        plane_words = jnp.swapaxes(pw_by_group, 2, 3)  # [B, S, 32p, 4w]
+        plane_region = plane_words.reshape(B, subs, PLANE_REGION)
+
+        # ---- width selection: argmin words over b, n_exc <= EXC_CAP ----
+        # zs is zeroed outside `valid`, so zero samples never count as
+        # exceeding any plane. The exceed table comes from the plane words
+        # above (suffix-OR + popcount) — the r3 smear+second-transpose
+        # formulation duplicated the 32x32 transpose over the whole input
+        # (~10 ms at 128 MiB, emit micro-profile).
+        best_b, best_words, best_exc, best_e = _select_width(
+            exceed_from_planes(pw_by_group), pw
+        )
+        bit_len = 32 * jnp.sum(best_words, axis=1)
+
+        # ---- exceptions: rank-match extraction ----
+        if exc_backend == "pallas":
+            from dctpu.kernels.vertical_pallas import exc_extract_pallas
+
+            pos_words, vals = exc_extract_pallas(zs, best_b)
+        else:
+            pos_words, vals = exc_extract_xla(zs, best_b)
 
     # ---- exception values (FORMAT §2.2): raw layout when n_exc <= ceil(e/2),
     # else bit-planed — value-plane p holds bit p of every value on its 16

@@ -129,11 +129,16 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
     log(f"[{coder}] device encode+compact: {res['enc_pipeline_gbps']:.4f} "
         f"GB/s/chip ({pipe_t*1e3:.1f} ms; chain {time.time()-t0:.0f}s)")
 
-    # ---- compact words + relay fetch measurement (compile-warm) ----
+    # ---- compact words + relay fetch measurement (compile-warm; best of
+    # 2 timed reps — the r4 rice outlier, 19.9 s vs the probe's steady
+    # 4 s, was relay variance, not a repo path difference:
+    # bench/probe_fetch.py measured both coders at ~9-10 MB/s steady) ----
     words = capi.compact_enc_payload_device(enc.payload, bl, L, coder)
-    t0 = time.time()
-    words = capi.compact_enc_payload_device(enc.payload, bl, L, coder)
-    fetch_t = time.time() - t0
+    fetch_t = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        words = capi.compact_enc_payload_device(enc.payload, bl, L, coder)
+        fetch_t = min(fetch_t, time.time() - t0)
     comp_bytes = words.nbytes
     res["ratio"] = raw_bytes / comp_bytes
     # bytes that cross the link: the tile-aligned semi prefix (block-level

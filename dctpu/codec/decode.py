@@ -40,11 +40,13 @@ def decode_blocks_body(
         # packed-row layout made it moot (see vertical_xla REGION_PAD
         # note). History: git log dctpu/kernels/vertical_pallas.py.
         if (
-            backend == "mega"
+            backend not in ("xla",)
             and block_len % 128 == 0
             and jax.default_backend() == "tpu"
         ):
-            # r5 VMEM-resident decode mega-kernel (kernels/vdec_pallas)
+            # r5 production default: VMEM-resident decode mega-kernel
+            # (kernels/vdec_pallas); "xla" is the portable opt-out and
+            # non-multiple-of-128 block lengths fall back below.
             from dctpu.kernels.vdec_pallas import decode_vertical_mega
 
             z = decode_vertical_mega(payload, n, block_len)

@@ -104,8 +104,11 @@ def _emit_selected(
         exc = "xla"
         if backend.startswith("pallas"):
             exc = "pallas"
-        elif backend == "mega" and jax.default_backend() == "tpu":
-            # opt-in r5 VMEM-resident emit mega-kernel (vemit_pallas)
+        elif backend != "xla" and jax.default_backend() == "tpu":
+            # r5 production default: the VMEM-resident emit mega-kernel
+            # (vemit_pallas; 19.95 vs 32.57 ms at 128 MiB on chip,
+            # bit-identical — bench/profile_vemit.py --full). "xla" stays
+            # the portable opt-out diffed by the smoke gate.
             exc = "mega"
         payload, bit_len = encode_vertical(z, n, L, exc_backend=exc)
         k = jnp.zeros(B, jnp.int32)

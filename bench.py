@@ -80,9 +80,11 @@ def _bench_coder(coder, xd, nd, hd, raw_bytes, x, n, L, chain=4):
         return e.bit_len, e.payload
 
     t0 = time.time()
-    # vertical: the fused packed-encoder chain OOM-kills the axon compile
-    # helper even at k=2 (r4) — chain=1 means floor-subtracted timing
-    enc_chain = 1 if coder == "vertical" else chain
+    # r4 forced chain=1 for vertical (the fused packed-encoder XLA chain
+    # OOM-killed the axon compile helper even at k=2); with the r5 mega
+    # kernel the emit is one opaque pallas_call and the chained HLO is
+    # small again — chain normally, degrade-on-OOM still guards it
+    enc_chain = chain
     enc_t, sp = chained_stats(enc_stage, (xd, nd, hd), k=enc_chain)
     res["enc_kernel_gbps"] = raw_bytes / enc_t / 1e9
     res["enc_kernel_spread"] = sp
@@ -321,7 +323,7 @@ def _bench_adaptive_device(xd, nd, hd, raw_bytes, x, n, L):
         t_g = chained_seconds(
             emit_pipe,
             (xd, nd, hd, choice_d, k_d, idx_d, tc_rice),
-            k=1 if gname == "vertical" else 3,  # see enc_chain note
+            k=3,  # r5: mega emit keeps the chained HLO small (enc_chain)
         )
         t_emit += t_g
         res[f"emit_{gname}_ms"] = t_g * 1e3

@@ -246,9 +246,10 @@ def main() -> int:
     t0 = time.time()
     from jax.sharding import Mesh
 
+    from dctpu.dist.mesh import STREAMS_AXIS
     from dctpu.dist.sharded import adaptive_select_sharded
 
-    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    mesh = Mesh(np.array(jax.devices()[:1]), (STREAMS_AXIS,))
     got = adaptive_select_sharded(*args_sel, cfg_sel, mesh, "auto")
     for name, a, b in zip(("choice", "coder", "k"), got, ref):
         assert np.array_equal(np.asarray(a), b), (

@@ -46,12 +46,15 @@ from dctpu.constants import (
 )
 from dctpu.kernels.vertical_xla import REGION_PAD
 
-RICE_TILE = 32     # block-granular semi alignment (waste <= 31 words/block)
+RICE_TILE = 64     # block-granular semi alignment (waste <= 63 words/block)
 # VERT_TILE trades alignment waste (<= TILE-1 words per sub segment, link
-# bytes only — squeeze_host drops it before disk) against gather index count
-# (the dominant compaction cost at ~18 ns per output row, measured). 8 -> 16
-# halved the segment-compact gather at +~12% link bytes (r3).
-VERT_TILE = 16
+# bytes only — squeeze_host drops it before disk) against gather index cost.
+# r5 (bench/profile_compact.py, 128 MiB): tile-row gathers only hit the
+# fast per-index path at 256-BYTE rows — 31 ns/idx @16 words, 52 @32, 18
+# @64 — so 16 -> 64 takes the compact gather 24.6 -> ~4 ms for +~35% link
+# bytes (semi waste only; squeeze_host drops it before disk, and the host
+# link is PCIe-class off this sandbox relay).
+VERT_TILE = 64
 assert REGION_PAD % VERT_TILE == 0
 # Decode-staging window gathers read at tile granularity INDEPENDENT of the
 # semi/disk lattice (the barrel realign handles any alignment). Measured on

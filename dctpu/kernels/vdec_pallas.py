@@ -12,7 +12,7 @@ z rows in ONE VMEM pass over the staged packed regions:
               PURE XLA reshape/swap/reverse (no arithmetic producers —
               the r4 operand-fusion incident involved arithmetic chains;
               pure relayouts were measured safe, select_bp.py);
-  tail      — an in-kernel funnel barrel over the [160]-word region pair
+  tail      — an in-kernel funnel barrel over the REGION_PAD-word region
               extracts the 20-word tail at word 4*b (all-pw=4 geometry;
               other geometries fall back to the XLA decoder);
   vals      — raw layout direct, bit-planed layout unplaned by a

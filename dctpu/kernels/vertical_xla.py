@@ -48,7 +48,11 @@ REGION_WORDS = PLANE_REGION + POS_REGION + VAL_REGION  # 148
 # is a pure segment gather and decode staging a pure window gather (the
 # repack/unpack barrel rolls fused into the encode/decode kernels; they
 # previously cost a full extra HBM round trip in each direction).
-REGION_PAD = 160
+# Round 5: 148 -> 192 words (VERT_TILE went 16 -> 64: tile-row gathers hit
+# the fast per-index path only at 256-byte rows — bench/profile_compact.py
+# measured the compact gather at 31 ns/idx @16w vs 18 ns/idx @64w, 24.6 ->
+# 3.6 ms at 128 MiB; the slot must stay a tile multiple).
+REGION_PAD = 192
 
 
 def padded_words_vertical(block_len: int) -> int:

@@ -46,10 +46,12 @@ def _load() -> Optional[ctypes.CDLL]:
         _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32, _i64p,
     ]
     lib.dctpu_vert_compact.argtypes = [
-        _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32, _i64p, _u32p,
+        _u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32,
+        ctypes.c_uint32, _i64p, _u32p,
     ]
     lib.dctpu_vert_stage.argtypes = [
-        _u32p, _i64p, ctypes.c_int64, ctypes.c_uint32, _u32p, ctypes.c_int64,
+        _u32p, _i64p, ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+        _u32p, ctypes.c_int64,
     ]
     lib.dctpu_segment_gather.argtypes = [
         _u32p, ctypes.c_int64, ctypes.c_int64, _i64p, _u32p,
@@ -84,7 +86,9 @@ def vert_compact(payload: np.ndarray, block_len: int) -> Optional[Tuple[np.ndarr
     off = np.zeros(B + 1, dtype=np.int64)
     np.cumsum(wc, out=off[1:])
     out = np.zeros(int(off[-1]), dtype=np.uint32)
-    lib.dctpu_vert_compact(payload, B, W, block_len, off, out)
+    from dctpu.kernels.vertical_xla import REGION_PAD
+
+    lib.dctpu_vert_compact(payload, B, W, block_len, REGION_PAD, off, out)
     return out, wc
 
 
@@ -99,7 +103,11 @@ def vert_stage(
     B = word_off.size - 1
     out = np.zeros((B, width), dtype=np.uint32)
     if B:
-        lib.dctpu_vert_stage(disk_words, word_off, B, block_len, out, width)
+        from dctpu.kernels.vertical_xla import REGION_PAD
+
+        lib.dctpu_vert_stage(
+            disk_words, word_off, B, block_len, REGION_PAD, out, width
+        )
     return out
 
 

@@ -21,10 +21,9 @@
 namespace {
 
 constexpr uint32_t SUB_BLOCK = 128;
-// Round 4: device payload rows are PACKED — each sub's REGION_PAD slot
+// Round 4: device payload rows are PACKED — each sub's region_pad slot
 // holds its live disk words verbatim (dctpu/kernels/vertical_xla.py), so
 // compact/stage are per-sub memcpys of the live prefix.
-constexpr uint32_t REGION_PAD = 160;
 
 inline uint32_t subs_per_block(uint32_t L) { return (L + SUB_BLOCK - 1) / SUB_BLOCK; }
 inline uint32_t sync_word_count(uint32_t L) { return (subs_per_block(L) + 1) / 2; }
@@ -72,11 +71,11 @@ void dctpu_vert_block_words(const uint32_t* payload, int64_t B, int64_t W,
   }
 }
 
-// Packed device payload rows [B, SW + S*REGION_PAD] -> canonical disk words.
+// Packed device payload rows [B, SW + S*region_pad] -> canonical disk words.
 // block_off: [B+1] exclusive word offsets (from dctpu_vert_block_words).
 void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
-                        uint32_t block_len, const int64_t* block_off,
-                        uint32_t* out) {
+                        uint32_t block_len, uint32_t region_pad,
+                        const int64_t* block_off, uint32_t* out) {
   uint32_t S = subs_per_block(block_len);
   uint32_t SW = sync_word_count(block_len);
 #pragma omp parallel for schedule(dynamic, 16)
@@ -88,15 +87,16 @@ void dctpu_vert_compact(const uint32_t* payload, int64_t B, int64_t W,
     uint32_t* d = dst + SW;
     for (uint32_t s = 0; s < S; s++) {
       uint32_t wc = sub_live_words(sync[s], block_len, s);
-      memcpy(d, row + SW + s * REGION_PAD, wc * 4);
+      memcpy(d, row + SW + s * region_pad, wc * 4);
       d += wc;
     }
   }
 }
 
-// Canonical disk words -> packed payload rows [B, SW + S*REGION_PAD] (zeroed).
+// Canonical disk words -> packed payload rows [B, SW + S*region_pad] (zeroed).
 void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
-                      uint32_t block_len, uint32_t* out, int64_t W) {
+                      uint32_t block_len, uint32_t region_pad, uint32_t* out,
+                      int64_t W) {
   uint32_t S = subs_per_block(block_len);
   uint32_t SW = sync_word_count(block_len);
 #pragma omp parallel for schedule(dynamic, 16)
@@ -108,7 +108,7 @@ void dctpu_vert_stage(const uint32_t* disk, const int64_t* word_off, int64_t B,
     const uint32_t* d = src + SW;
     for (uint32_t s = 0; s < S; s++) {
       uint32_t wc = sub_live_words(sync[s], block_len, s);
-      memcpy(row + SW + s * REGION_PAD, d, wc * 4);
+      memcpy(row + SW + s * region_pad, d, wc * 4);
       d += wc;
     }
   }

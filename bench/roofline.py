@@ -128,7 +128,7 @@ def main():
     region_b = B * (SW + S * REGION_PAD) * 4  # packed rows (r4 layout)
 
     def emit_stage(z, n, salt):
-        return encode_vertical(z ^ salt, n, L, exc_backend="pallas")
+        return encode_vertical(z ^ salt, n, L, exc_backend="mega")
 
     stage("v_emit(encode_vertical)", emit_stage, (z0, nd),
           raw + region_b, "read z, write regions")
@@ -137,11 +137,10 @@ def main():
         e = encode_blocks_body(x ^ salt.astype(jnp.int32), n, h, cfg, "auto")
         return e.bit_len, e.payload
 
-    # chain=1 -> floor-subtracted absolute timing: the fused full-encode
-    # chain OOM-kills the axon compile helper even at k=2 (r4)
+    # r5: the mega emit keeps the chained HLO small — chain normally
+    # (the r4 fused XLA encode chain OOM-killed the compile helper)
     t_enc = stage("v_encode_full", enc_full, (xd, nd, hd),
-                  2 * raw + region_b, "read x, select, write regions",
-                  chain=1)
+                  2 * raw + region_b, "read x, select, write regions")
 
     # ---- vertical compaction ----
     enc = jax.jit(
@@ -204,8 +203,10 @@ def main():
         static_argnames=("block_len", "span_words"),
     )(flat_d, off_d, L, span_w)
 
+    from dctpu.kernels.vdec_pallas import decode_vertical_mega
+
     def dkern_stage(p, salt):
-        return decode_vertical(p ^ salt, nd, L)
+        return decode_vertical_mega(p ^ salt, nd, L)
 
     t_dk = stage("v_decode_kernel", dkern_stage, (padded,),
                  region_b + raw, "read regions, write z")

@@ -33,6 +33,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 # force CPU: the environment pins jax_platforms='axon,cpu' at interpreter
 # startup, so env-var setdefault is not enough (same dance as tests/conftest)
 os.environ["JAX_PLATFORMS"] = "cpu"
